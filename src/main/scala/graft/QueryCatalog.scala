@@ -1,0 +1,601 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => WExpr}
+
+import graft.core.Geom
+import graft.functions.{CellFunctions, TileWindowsGenerator}
+import graft.operators._
+import graft.sources.Fixtures
+
+/** The driver-facing query surface: one entry per operator (SURVEY.md §2 +
+  * the training-data pipeline ops), each with an equivalent DuckDB oracle
+  * where the semantics are SQL-expressible. Cross-engine determinism rules:
+  *   - integer outputs wherever possible (counts, exact fractions);
+  *   - doubles only from identical IEEE expression trees on both sides;
+  *   - `floor(x*1e6)` instead of round() (round differs HALF_UP/HALF_EVEN);
+  *   - rankings always tie-broken by id on rounded values.
+  */
+object QueryCatalog {
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def ord(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
+  private def cust(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
+  private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+
+  /** floor(x·1e6) as bigint — the cross-engine-stable fixed-point encode. */
+  private def fp6(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+
+  // Deterministic lat/lon derived from doc_id (same arithmetic in oracles).
+  private val dLat: Column = lit(-85.0) + (col("doc_id") * lit(104729L) % lit(17000L)).cast("double") / lit(100.0)
+  private val dLon: Column = lit(-180.0) + (col("doc_id") * lit(7919L) % lit(36000L)).cast("double") / lit(100.0)
+  private val sqlLat = "(-85.0 + (doc_id * 104729 % 17000) / 100.0)"
+  private val sqlLon = "(-180.0 + (doc_id * 7919 % 36000) / 100.0)"
+
+  // lux1 constants (FIXTURES.md §2)
+  private val LW = 483; private val LH = 216
+  private val A = 8.983152795e-5; private val E = -8.983152778e-5
+  private val C = 5.979635689; private val F = 50.118985995
+
+  // points mapped into the lux raster extent (for the tile join / knn-in-extent)
+  private val lLon: Column = lit(C) + (col("doc_id") * lit(7919L) % lit(10000L)).cast("double") / lit(10000.0) * lit(0.043388628)
+  private val lLat: Column = lit(50.099582385) + (col("doc_id") * lit(104729L) % lit(10000L)).cast("double") / lit(10000.0) * lit(0.019403610)
+  private val sqlLLon = s"($C + (doc_id * 7919 % 10000) / 10000.0 * 0.043388628)"
+  private val sqlLLat = "(50.099582385 + (doc_id * 104729 % 10000) / 10000.0 * 0.019403610)"
+
+  /** DuckDB SQL fragment: the lux1 whole_overlap 128/128 grid with world
+    * bounds — the same semantics as TileGrid.squareWindows (utils.py:39-90),
+    * expressed with range() unions. */
+  private val sqlTileGrid: String = {
+    val endI = LH - 128; val endJ = LW - 128 // exclusive range ends
+    s"""
+      |WITH main AS (
+      |  SELECT y.i // 128 AS i, x.j // 128 AS j, x.j AS col_off, y.i AS row_off
+      |  FROM range(0, $endI, 128) y(i), range(0, $endJ, 128) x(j)
+      |), extra_col AS (
+      |  SELECT y.i // 128 AS i, ($endJ - 1) // 128 + 1 AS j,
+      |         ${LW - 128} AS col_off, y.i AS row_off
+      |  FROM range(0, $endI, 128) y(i)
+      |), extra_row AS (
+      |  SELECT ($endI - 1) // 128 + 1 AS i, x.j // 128 AS j,
+      |         x.j AS col_off, ${LH - 128} AS row_off
+      |  FROM range(0, $endJ, 128) x(j)
+      |), corner AS (
+      |  SELECT ($endI - 1) // 128 + 1 AS i, ($endJ - 1) // 128 + 1 AS j,
+      |         ${LW - 128} AS col_off, ${LH - 128} AS row_off
+      |), grid AS (
+      |  SELECT * FROM main UNION ALL SELECT * FROM extra_col
+      |  UNION ALL SELECT * FROM extra_row UNION ALL SELECT * FROM corner
+      |)
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |       CAST(col_off AS INT) AS col_off, CAST(row_off AS INT) AS row_off,
+      |       128 AS win_width, 128 AS win_height,
+      |       $C + col_off * $A AS minx,
+      |       $F + (row_off + 128) * ($E) AS miny,
+      |       $C + (col_off + 128) * $A AS maxx,
+      |       $F + row_off * ($E) AS maxy
+      |FROM grid
+      |""".stripMargin
+  }
+
+  /** DuckDB fragment: morton cell id at `res` from integer xi/yi columns. */
+  private def sqlInterleave(xi: String, yi: String, res: Int): String =
+    s"""(SELECT SUM((( ($xi) >> b.b) & 1) * (1::BIGINT << (2*b.b + 1)) +
+       |            ((( $yi) >> b.b) & 1) * (1::BIGINT << (2*b.b)))
+       | FROM range(0, $res) b(b))""".stripMargin.replace("\n", " ")
+
+  private def sqlXIndex(lon: String, res: Int): String =
+    s"LEAST(GREATEST(CAST(FLOOR(($lon + 180.0) / 360.0 * ${(1L << res).toDouble}) AS BIGINT), 0), ${(1L << res) - 1})"
+  private def sqlYIndex(lat: String, res: Int): String =
+    s"LEAST(GREATEST(CAST(FLOOR((90.0 - $lat) / 180.0 * ${(1L << res).toDouble}) AS BIGINT), 0), ${(1L << res) - 1})"
+
+  // ======================================================================
+  // queries
+  // ======================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational engine basics (Catalyst pushdown/prune/join/window) --
+    "q1_agg" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        fp6(sum("l_quantity")).as("sum_qty_fp"),
+        fp6(sum("l_extendedprice")).as("sum_price_fp"),
+        fp6(max("l_discount")).as("max_disc_fp"))),
+
+    "q3_join_topk" -> ((s, dir) => {
+      val revenue = li(s, dir)
+        .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_lines"),
+          fp6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_fp"))
+      revenue.orderBy(col("c_mktsegment"))
+    }),
+
+    "q_window_rank" -> ((s, dir) =>
+      ord(s, dir)
+        .withColumn("rn", row_number().over(
+          WExpr.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .where(col("rn") <= 2)
+        .select("o_custkey", "rn", "o_orderkey")),
+
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir).groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), fp6(sum("value")).as("sum_value_fp"))),
+
+    // ---- W1/W2: sliding-window grid + window→geometry ---------------------
+    "tile_grid" -> ((s, _) => {
+      import s.implicits._
+      val meta = Seq((LW, LH)).toDF("w", "h")
+      meta.select(TileWindowsGenerator.tile_windows(
+          col("w"), col("h"), lit(128), lit(128), lit("whole_overlap")))
+        .withColumn("minx", lit(C) + col("col_off") * lit(A))
+        .withColumn("miny", lit(F) + (col("row_off") + col("win_height")) * lit(E))
+        .withColumn("maxx", lit(C) + (col("col_off") + col("win_width")) * lit(A))
+        .withColumn("maxy", lit(F) + col("row_off") * lit(E))
+    }),
+
+    // ---- G6: cell id / cover / kring -------------------------------------
+    "cell_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), dLat.as("lat"), dLon.as("lon"))
+        .withColumn("cell", CellFunctions.cell_id(col("lat"), col("lon"), lit(12)))
+        .select("doc_id", "cell")),
+
+    "cell_cover" -> ((s, _) => {
+      val meta = Fixtures.luxMeta()
+      PagesTiling.tileCells(s, meta,
+          PagesTiling.TilingConfig(cellRes = 16))
+        .select(col("i"), col("j"), col("cell"))
+    }),
+
+    "kring" -> ((s, dir) =>
+      docs(s, dir).where(col("doc_id") < 50)
+        .select(col("doc_id"), dLat.as("lat"), dLon.as("lon"))
+        .withColumn("cell", CellFunctions.cell_id(col("lat"), col("lon"), lit(8)))
+        .withColumn("nbr", explode(CellFunctions.k_ring(col("cell"), lit(1), lit(8))))
+        .select("doc_id", "cell", "nbr")),
+
+    // ---- G3: point-in-polygon against a broadcast prepared geometry ------
+    "pip_aoi" -> ((s, dir) => {
+      // convex pentagon; JTS prepared-geometry containment on the Spark side
+      val poly = Geom.polygon(pipPentagon)
+      val wkb = Geom.toWkb(poly)
+      val contains = udf { (lat: Double, lon: Double) =>
+        PipCache.get(wkb).contains(
+          Geom.factory.createPoint(new org.locationtech.jts.geom.Coordinate(lon, lat)))
+      }
+      docs(s, dir).select(col("doc_id"), dLat.as("lat"), dLon.as("lon"))
+        .where(contains(col("lat"), col("lon")))
+        .select("doc_id")
+    }),
+
+    // ---- G2: pages→tiles spatial join (cell cover + exact refine) --------
+    "spatial_join_tiles" -> ((s, dir) => {
+      val meta = Fixtures.luxMeta()
+      val cfg = PagesTiling.TilingConfig(cellRes = 16)
+      val pts = docs(s, dir).select(col("doc_id"), lLat.as("lat"), lLon.as("lon"))
+        .withColumn("cell", CellFunctions.cell_id(col("lat"), col("lon"), lit(cfg.cellRes)))
+      val tiles = PagesTiling.tileCells(s, meta, cfg)
+      pts.join(tiles, Seq("cell"))
+        .where(col("lon") >= col("minx") && col("lon") < col("maxx") &&
+               col("lat") <= col("maxy") && col("lat") > col("miny"))
+        .select("doc_id", "i", "j")
+    }),
+
+    // ---- G4: kNN ring expansion ------------------------------------------
+    "knn" -> ((s, dir) => {
+      import s.implicits._
+      val queries = knnQueryPoints.toDF("qid", "qlat", "qlon")
+      val points = docs(s, dir).select(col("doc_id").as("id"), dLat.as("lat"), dLon.as("lon"))
+      Knn.knnRingExpansion(s, points, queries, k = 5, res = 4)
+        .select(col("qid"), col("rank"), col("id"), fp6(col("dist2")).as("dist2_fp"))
+    }),
+
+    // ---- M12: closed-form reprojection 4326→3857 --------------------------
+    // fixed-point at 1e2 (cm): tan/ln differ by ≤1 ulp across libm builds,
+    // so the 1e6 scale occasionally straddles a floor boundary
+    "reproject_3857" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), dLat.as("lat"), dLon.as("lon"))
+        .select(col("doc_id"),
+          floor(radians(col("lon")) * lit(graft.core.Mercator.R) * lit(100.0)).cast("long").as("x_fp"),
+          floor(log(tan(lit(math.Pi / 4.0) + radians(col("lat")) / lit(2.0))) * lit(graft.core.Mercator.R) * lit(100.0)).cast("long").as("y_fp"))),
+
+    // ---- A1: global per-band min/max over the raster tile table ----------
+    "raster_minmax" -> ((s, _) => {
+      val tiles = Fixtures.luxTiles(s)
+      tiles.toDF()
+        .select(posexplode(col("pixels")).as(Seq("band0", "vals")))
+        .select(col("band0") + lit(1) as "band", explode(col("vals")).as("v"))
+        .groupBy("band")
+        .agg(fp6(min(col("v")).cast("double")).as("min_fp"),
+          fp6(max(col("v")).cast("double")).as("max_fp"),
+          count(lit(1)).as("n_px"))
+    }),
+
+    // ---- dedup family ------------------------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), minJaccard = 0.4)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), w = 5, minJaccard = 0.25)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 12)),
+    "dedup_embedding" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pairs = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      pairs.where(col("cos") >= 0.2)
+        .select(col("vec_a"), col("vec_b"), fp6(col("cos")).as("cos_fp"))
+    }),
+
+    // ---- similarity search -------------------------------------------------
+    "ann_topk" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteTopK(v, q, k = 10)
+        .select(col("qid"), col("rank"), col("vec_id"), fp6(col("cos")).as("cos_fp"))
+    }),
+    "ann_ivf" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(v, q, k = 10, dim = 64)
+        .select(col("qid"), col("rank"), col("vec_id"), fp6(col("cos")).as("cos_fp"))
+    }),
+
+    // ---- text analysis -----------------------------------------------------
+    "token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
+    "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityScore(docs(s, dir))
+        .withColumn("mean_token_len", fp6(col("mean_token_len")))
+        .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
+
+    // ---- multimodal plumbing: opaque binary + typed metadata --------------
+    "multimodal_extract" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("payload", col("text").cast("binary")) // stand-in binary column
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))),
+
+    // ---- streaming (Structured Streaming over the events table) -----------
+    "streaming_counts" -> ((s, dir) => Streaming.eventCounts(s, dir)),
+
+    // ---- satproc raster/vector ops (non-SQL; rows-only gate + ScalaTest
+    //      goldens). Deterministic fixture inputs.
+    "extract_chips" -> ((s, _) => {
+      val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
+      val aoi = Geom.toWkb(Geom.unaryUnion(Fixtures.aoiGeoms()))
+      val chips = ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
+        labels = Some(labels), aoiWkb = Some(aoi),
+        cfg = ChipPipeline.ChipConfig(bands = Some(Seq(1, 2, 3, 4)),
+          rescaleMode = Some("values"), rescaleRange = (0.0, 0.3)))
+      ChipPipeline.footprints(chips)
+    }),
+    "pages_chips" -> ((s, _) => {
+      val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
+      PagesTiling.extractChips(s, Fixtures.pages(s, 20000), Fixtures.luxMeta(),
+          labels = Some(labels))
+        .select("raster_id", "i", "j", "n_pages", "bad_text", "filename")
+    })
+  )
+
+  val pipPentagon: Seq[(Double, Double)] = Seq(
+    (-100.123, -40.234), (40.567, -55.111), (120.789, 10.456),
+    (10.321, 70.654), (-140.987, 30.999))
+
+  val knnQueryPoints: Seq[(Long, Double, Double)] =
+    (0 until 10).map(q => (q.toLong,
+      Seq(-60.0, -46.3, -32.6, -18.9, -5.2, 8.5, 22.2, 35.9, 49.6, 63.3)(q),
+      Seq(-150.0, -118.9, -87.8, -56.7, -25.6, 5.5, 36.6, 67.7, 98.8, 129.9)(q)))
+
+  private object PipCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[Seq[Byte],
+      org.locationtech.jts.geom.prep.PreparedGeometry]()
+    def get(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry =
+      cache.computeIfAbsent(wkb.toSeq, _ =>
+        org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(Geom.fromWkb(wkb)))
+  }
+
+  // ======================================================================
+  // DuckDB oracles
+  // ======================================================================
+
+  private def h60sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  lazy val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(FLOOR(sum(l_quantity)*1000000.0) AS BIGINT) AS sum_qty_fp,
+        | CAST(FLOOR(sum(l_extendedprice)*1000000.0) AS BIGINT) AS sum_price_fp,
+        | CAST(FLOOR(max(l_discount)*1000000.0) AS BIGINT) AS max_disc_fp
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT c_mktsegment, count(*) AS n_lines,
+        | CAST(FLOOR(sum(l_extendedprice * (1.0 - l_discount))*1000000.0) AS BIGINT) AS revenue_fp
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 2""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | CAST(FLOOR(sum(value)*1000000.0) AS BIGINT) AS sum_value_fp
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "tile_grid" -> sqlTileGrid,
+
+    "cell_id" ->
+      s"""SELECT doc_id,
+         | ${sqlInterleave(sqlXIndex(sqlLon, 12), sqlYIndex(sqlLat, 12), 12)} AS cell
+         |FROM documents""".stripMargin,
+
+    "kring" ->
+      s"""WITH pts AS (
+         | SELECT doc_id,
+         |  ${sqlXIndex(sqlLon, 8)} AS xi, ${sqlYIndex(sqlLat, 8)} AS yi
+         | FROM documents WHERE doc_id < 50
+         |), nbrs AS (
+         | SELECT doc_id, xi, yi, xi + dx.d AS nx, yi + dy.d AS ny
+         | FROM pts, range(-1, 2) dx(d), range(-1, 2) dy(d)
+         | WHERE xi + dx.d BETWEEN 0 AND 255 AND yi + dy.d BETWEEN 0 AND 255
+         |)
+         |SELECT doc_id,
+         | ${sqlInterleave("xi", "yi", 8)} AS cell,
+         | ${sqlInterleave("nx", "ny", 8)} AS nbr
+         |FROM nbrs""".stripMargin,
+
+    "pip_aoi" -> {
+      // convex polygon: interior = same side of every edge (CCW ⇒ cross > 0)
+      val pts = pipPentagon :+ pipPentagon.head
+      val edges = pts.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        s"(($x2 - $x1) * ($sqlLat - $y1) - ($y2 - $y1) * ($sqlLon - $x1)) > 0"
+      }.mkString(" AND ")
+      s"SELECT doc_id FROM documents WHERE $edges"
+    },
+
+    "spatial_join_tiles" ->
+      s"""WITH grid AS ($sqlTileGrid)
+         |SELECT doc_id, i, j FROM documents, grid
+         |WHERE $sqlLLon >= minx AND $sqlLLon < maxx
+         |  AND $sqlLLat <= maxy AND $sqlLLat > miny""".stripMargin,
+
+    "knn" -> {
+      val qvals = knnQueryPoints.map { case (q, la, lo) => s"($q, $la, $lo)" }.mkString(", ")
+      s"""WITH q(qid, qlat, qlon) AS (VALUES $qvals),
+         |pts AS (SELECT doc_id AS id, $sqlLat AS lat, $sqlLon AS lon FROM documents),
+         |d AS (SELECT qid, id,
+         |  (qlat - lat)*(qlat - lat) + (qlon - lon)*(qlon - lon) AS dist2,
+         |  row_number() OVER (PARTITION BY qid ORDER BY
+         |    (qlat - lat)*(qlat - lat) + (qlon - lon)*(qlon - lon), id) AS rank
+         | FROM q, pts)
+         |SELECT qid, rank, id, CAST(FLOOR(dist2*1000000.0) AS BIGINT) AS dist2_fp
+         |FROM d WHERE rank <= 5""".stripMargin
+    },
+
+    "reproject_3857" ->
+      s"""SELECT doc_id,
+         | CAST(FLOOR(radians($sqlLon) * 6378137.0 * 100.0) AS BIGINT) AS x_fp,
+         | CAST(FLOOR(ln(tan(${math.Pi / 4.0} + radians($sqlLat) / 2.0)) * 6378137.0 * 100.0) AS BIGINT) AS y_fp
+         |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(string_split_regex(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pieces_sep,
+        | length(text) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"SELECT doc_id, ${h60sql("text")} AS fingerprint FROM documents",
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), h AS (
+         | SELECT doc_id, ${h60sql("tok")} AS h FROM tok
+         |), bits AS (
+         | SELECT doc_id, b.b AS b,
+         |  SUM(((h >> b.b) & 1) * 2 - 1) AS s
+         | FROM h, range(0, 60) b(b) GROUP BY 1, 2
+         |)
+         |SELECT doc_id,
+         | SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY 1""".stripMargin,
+
+    "multimodal_extract" ->
+      """SELECT doc_id,
+        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex
+        |FROM documents""".stripMargin,
+
+    "lang_id" -> {
+      val scoreCols = TextOps.langMarkers.map { case (l, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($set)))::INT AS score_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pred = langs.map(l =>
+        s"WHEN score_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, $scoreCols FROM t)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         | CASE $pred ELSE 'und' END AS predicted_lang
+         |FROM s""".stripMargin
+    },
+
+    "text_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  length(text) AS n_chars,
+        |  length(text) - length(replace(text, ' ', '')) AS n_spaces
+        | FROM documents)
+        |SELECT doc_id, n_chars,
+        | len(toks)::INT AS n_tokens,
+        | len(list_filter(toks, x -> x IN ('the','and','a','of','to','in','over')))::INT AS n_stopwords,
+        | len(list_filter(toks, x -> length(x) <= 2))::INT AS n_short_tokens,
+        | n_spaces,
+        | CAST(FLOOR((n_chars - n_spaces) / len(toks)::DOUBLE * 1000000.0) AS BIGINT) AS mean_token_len_fp,
+        | (len(toks) >= 15 AND (n_chars - n_spaces) / len(toks)::DOUBLE >= 2.0
+        |   AND len(list_filter(toks, x -> x IN ('the','and','a','of','to','in','over'))) * 20 >= len(toks)) AS quality_ok
+        |FROM t""".stripMargin,
+
+    "dedup_minhash" -> sqlMinhashSig,
+
+    "dedup_minhash_lsh" -> {
+      val bandKeys = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh_${2 * b}::VARCHAR || '_' || mh_${2 * b + 1}::VARCHAR) AS band_key FROM m")
+        .mkString(" UNION ALL ")
+      s"""WITH ${sqlShingleCte(3)},
+         |m AS (${sqlMinhashFromSh}),
+         |bands AS ($bandKeys),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         | FROM cand c
+         | JOIN sh sa ON sa.doc_id = c.doc_a
+         | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         | GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.n_common AS jaccard_num,
+         | na.n + nb.n - i.n_common AS jaccard_den
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.doc_a
+         |JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE i.n_common >= (na.n + nb.n - i.n_common) * 0.4""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${sqlShingleCte(5)},
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         | FROM cand c
+         | JOIN sh sa ON sa.doc_id = c.doc_a
+         | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         | GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.n_common AS jaccard_num,
+         | na.n + nb.n - i.n_common AS jaccard_den
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.doc_a
+         |JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE i.n_common >= (na.n + nb.n - i.n_common) * 0.25""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH tok AS (
+         | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM tok),
+         |bits AS (
+         | SELECT doc_id, b.b AS b, SUM(((h >> b.b) & 1) * 2 - 1) AS s
+         | FROM h, range(0, 60) b(b) GROUP BY 1, 2),
+         |sig AS (
+         | SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         | FROM bits GROUP BY 1),
+         |blocks AS (
+         | SELECT doc_id, simhash, q.q AS q, (simhash >> (q.q * 15)) & 32767 AS qk
+         | FROM sig, range(0, 4) q(q)),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+         |   y.doc_id AS doc_b, y.simhash AS sim_b
+         | FROM blocks x JOIN blocks y
+         |  ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 12""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+         |p AS (SELECT q.qid, v.vec_id, $sqlCosine AS cos
+         | FROM v, q WHERE v.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         | FROM p)
+         |SELECT qid, rank::INT AS rank, vec_id, CAST(FLOOR(cos*1000000.0) AS BIGINT) AS cos_fp
+         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         | CAST(FLOOR(${sqlCosinePair}*1000000.0) AS BIGINT) AS cos_fp
+         |FROM v x JOIN v y ON x.vec_id < y.vec_id
+         |WHERE $sqlCosinePair >= 0.2""".stripMargin,
+
+    "cell_cover" -> {
+      val res = 16
+      s"""WITH grid AS ($sqlTileGrid),
+         |rng AS (
+         | SELECT i, j,
+         |  ${sqlXIndex("minx", res)} AS x0, ${sqlXIndex("maxx", res)} AS x1,
+         |  ${sqlYIndex("maxy", res)} AS y0, ${sqlYIndex("miny", res)} AS y1
+         | FROM grid),
+         |cells AS (
+         | SELECT i, j, x0 + xs.d AS xi, y0 + ys.d AS yi
+         | FROM rng, range(0, 64) xs(d), range(0, 64) ys(d)
+         | WHERE x0 + xs.d <= x1 AND y0 + ys.d <= y1)
+         |SELECT i, j, ${sqlInterleave("xi", "yi", res)} AS cell FROM cells""".stripMargin
+    },
+
+    "raster_minmax" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT b.b AS band,
+         |  CAST(CAST((b.b * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS REAL) AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x), range(1, 5) b(b))
+         |SELECT band::INT AS band,
+         | CAST(FLOOR(min(v)::DOUBLE * 1000000.0) AS BIGINT) AS min_fp,
+         | CAST(FLOOR(max(v)::DOUBLE * 1000000.0) AS BIGINT) AS max_fp,
+         | count(*) AS n_px
+         |FROM px GROUP BY 1""".stripMargin,
+
+    "streaming_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | CAST(FLOOR(sum(value)*1000000.0) AS BIGINT) AS sum_value_fp
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  /** Shared CTE: distinct word w-shingles per doc (DuckDB side). */
+  private def sqlShingleCte(w: Int): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       | SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i + ${w - 1}], ' ') AS sh
+       | FROM t, range(1, 4096) i(i) WHERE i.i < len(toks) - ${w - 2})""".stripMargin
+
+  private def sqlMinhashFromSh: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(${h60sql(s"'$i:' || sh")}) AS mh_$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+
+  private def sqlMinhashSig: String =
+    s"WITH ${sqlShingleCte(3)} $sqlMinhashFromSh"
+
+  private def sqlCosine =
+    "round(list_dot_product(v.e, q.qe) / sqrt(list_dot_product(v.e, v.e)) / sqrt(list_dot_product(q.qe, q.qe)), 6)"
+  private def sqlCosinePair =
+    "round(list_dot_product(x.e, y.e) / sqrt(list_dot_product(x.e, x.e)) / sqrt(list_dot_product(y.e, y.e)), 6)"
+}

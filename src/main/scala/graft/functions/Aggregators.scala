@@ -62,13 +62,14 @@ case class DissolveBuf(pending: List[Array[Byte]], partial: Option[Array[Byte]])
 class PixelMaxAggregator(nBands: Int, size: Int)
     extends Aggregator[Array[Double], Array[Double], Array[Double]] {
 
-  private val n = nBands * size * size
-
-  override def zero: Array[Double] = Array.fill(n)(Double.NaN)
+  /** Length adapts to the group's placement arrays (output windows at the
+    * raster border are clipped, so sizes vary per group). */
+  override def zero: Array[Double] = Array.empty[Double]
 
   override def reduce(acc: Array[Double], px: Array[Double]): Array[Double] = {
+    if (acc.isEmpty) return px.clone()
     var i = 0
-    while (i < n) {
+    while (i < acc.length) {
       val v = px(i)
       if (!v.isNaN && (acc(i).isNaN || v > acc(i))) acc(i) = v
       i += 1
@@ -76,13 +77,14 @@ class PixelMaxAggregator(nBands: Int, size: Int)
     acc
   }
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = reduce(a, b)
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b else if (b.isEmpty) a else reduce(a, b)
 
   /** rasterio.merge initializes the output with zeros (nodata default 0 for
     * these chips) — uncovered pixels finish as 0. */
   override def finish(acc: Array[Double]): Array[Double] = {
     var i = 0
-    while (i < n) { if (acc(i).isNaN) acc(i) = 0.0; i += 1 }
+    while (i < acc.length) { if (acc(i).isNaN) acc(i) = 0.0; i += 1 }
     acc
   }
 

@@ -105,6 +105,61 @@ object Fixtures {
     Seq(mp, mp.copy().asInstanceOf[Geometry])
   }
 
+  /** Probability-chip twin (FIXTURES.md §5): single-band uint8 chips on the
+    * lux1 grid. Two rectangular blobs of value 40, each spanning ≥2 adjacent
+    * chips (global pixel coords):
+    *   blob A rows 20–60 × cols 100–160  → tiles (0,0),(0,1)
+    *   blob B rows 150–200 × cols 300–400 → tiles (1,2),(1,3)
+    * ⇒ per-chip max = 40 on those 4 tiles, 0 elsewhere: threshold 0.05
+    * (round(0.05·255)=13) passes 4 of 8; threshold 0.5 (128) passes 0
+    * (reference: tests/test_filter.py:15-41); nonzero regions dissolve into
+    * exactly 2 polygons (tests/test_polygonize.py:16-46). */
+  @inline def probValue(y: Int, x: Int): Float = {
+    val inA = y >= 20 && y < 60 && x >= 100 && x < 160
+    val inB = y >= 150 && y < 200 && x >= 300 && x < 400
+    if (inA || inB) 40f else 0f
+  }
+
+  def probChips(spark: SparkSession, size: Int = 128, step: Int = 128,
+                mode: String = "whole_overlap", id: String = "prob"): Dataset[Tile] = {
+    import spark.implicits._
+    val cells = TileGrid.squareWindows(size, step, LuxWidth, LuxHeight, mode)
+    spark.createDataset(cells).repartition(math.min(cells.size, 32))
+      .map { c =>
+        val w = c.window
+        val band = new Array[Float](w.width * w.height)
+        var y = 0
+        while (y < w.height) {
+          var x = 0
+          while (x < w.width) {
+            band(y * w.width + x) = probValue(w.rowOff + y, w.colOff + x)
+            x += 1
+          }
+          y += 1
+        }
+        Tile(id, c.i, c.j, w.colOff, w.rowOff, w.width, w.height, Array(band))
+      }
+  }
+
+  /** Histogram-matching pair (FIXTURES.md §6): same dims, different value
+    * distributions. */
+  @inline def histSrcValue(y: Int, x: Int): Float = ((y * 31 + x * 17) % 200).toFloat
+  @inline def histRefValue(y: Int, x: Int): Float = (((y * 13 + x * 7) % 200) / 2 + 55).toFloat
+
+  def histPair(spark: SparkSession): (Dataset[Tile], Dataset[Tile]) = {
+    import spark.implicits._
+    def mk(id: String, f: (Int, Int) => Float): Dataset[Tile] = {
+      val cells = TileGrid.squareWindows(128, 128, LuxWidth, LuxHeight, "exact")
+      spark.createDataset(cells).map { c =>
+        val w = c.window
+        val band = Array.tabulate(w.width * w.height)(k =>
+          f(w.rowOff + k / w.width, w.colOff + k % w.width))
+        Tile(id, c.i, c.j, w.colOff, w.rowOff, w.width, w.height, Array(band))
+      }
+    }
+    (mk("hsrc", histSrcValue), mk("href", histRefValue))
+  }
+
   // ---- pages table (FIXTURES.md §1) -------------------------------------
 
   private val vocab: Array[String] =

@@ -1,24 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. The flagship metric is
+  * BASELINE.json's "tiles+chips emitted per second" — measured over the
+  * full pages→tiles spatial join + chip extraction at a page count scaled
+  * to the sf directory (sf0.1 → 2M pages). SPARK_GRAFT_CPUS sets
+  * parallelism; running at 8 and 32 gives the two-cluster-size scaling
+  * evidence (efficiency = (thr32/thr8)/4). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // ---- flagship: pages → tiles spatial join + chip extraction ----------
+    val sf = sfDir.split("sf").last.toDoubleOption.getOrElse(0.1)
+    val nPages = math.max(20000L, (20000000L * sf).toLong) // sf0.1 → 2M pages
+    val labels = sources.Fixtures.labelGeoms().map { case (g, c) =>
+      (core.Geom.toWkb(g), c)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // warm the JVM/codegen once at small scale
+    operators.PagesTiling.extractChips(spark, sources.Fixtures.pages(spark, 2000),
+      sources.Fixtures.luxMeta(), labels = Some(labels)).count()
+
+    val t0 = System.nanoTime()
+    val chips = operators.PagesTiling.extractChips(spark,
+      sources.Fixtures.pages(spark, nPages), sources.Fixtures.luxMeta(),
+      labels = Some(labels))
+    val agg = chips.agg(
+      org.apache.spark.sql.functions.sum("n_pages"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("bad_text")).head()
+    val flagshipSec = (System.nanoTime() - t0) / 1e9
+    val tilesAssigned = agg.getLong(0)
+    val nChips = agg.getLong(1)
+    val badText = agg.getLong(2)
+    val throughput = (tilesAssigned + nChips) / flagshipSec
+
+    // ---- headline catalog queries ----------------------------------------
+    val headline = Seq("q1_agg", "q3_join_topk", "q_window_rank", "spatial_join_tiles",
+      "cell_id", "knn", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+      "dedup_ngram_jaccard", "ann_topk", "ann_ivf", "token_count", "lang_id",
+      "text_quality", "doc_fingerprint", "extract_chips", "filter_chips",
+      "polygonize_dissolve", "smooth_stitch", "scale_minmax", "histogram_match",
+      "generalize_3857", "spatial_filter_gaussian", "retile_64", "streaming_counts")
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - q0) / 1e9
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = flagshipSec + results.map(_._2).sum
+    println(
+      f"""{"metric":"tiles+chips emitted per second","value":$throughput%.1f,"unit":"tiles+chips/sec","flagship_sec":$flagshipSec%.3f,"flagship_pages":$nPages,"tiles_assigned":$tilesAssigned,"chips":$nChips,"bad_text":$badText,"parallelism":$cpus,"total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

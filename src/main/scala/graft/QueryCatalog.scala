@@ -284,8 +284,111 @@ object QueryCatalog {
       PagesTiling.extractChips(s, Fixtures.pages(s, 20000), Fixtures.luxMeta(),
           labels = Some(labels))
         .select("raster_id", "i", "j", "n_pages", "bad_text", "filename")
+    }),
+
+    // ---- F7: max-prob filter (oracle reproduces the blob formula) ---------
+    "filter_chips" -> ((s, _) =>
+      PostProcess.filterByMaxProb(Fixtures.probChips(s), 0.05)
+        .withColumn("mx", col("mx").cast("int"))),
+
+    // ---- M13+A4: polygonize + dissolve ------------------------------------
+    "polygonize_dissolve" -> ((s, _) => {
+      val out = PostProcess.polygonize(s, Fixtures.probChips(s), Fixtures.LuxAffine,
+        threshold = Some(0.02))
+      geomStats(s, out)
+    }),
+
+    // ---- M8/J2/A5: smooth stitch -------------------------------------------
+    "smooth_stitch" -> ((s, _) => {
+      import s.implicits._
+      PostProcess.smoothStitch(s, Fixtures.probChips(s, step = 64), Fixtures.LuxAffine,
+          power = 1.5)
+        .select(col("oi"), col("oj"), col("ocol"), col("orow"),
+          col("ow"), col("oh"), col("filename"),
+          floor(aggregate(col("pixels"), lit(0.0), (a, v) => a + v) * lit(100.0))
+            .cast("long").as("sum_fp"))
+    }),
+
+    // ---- A1/M2: two-pass min-max scale (formula oracle) --------------------
+    "scale_minmax" -> ((s, _) => {
+      import s.implicits._
+      PostProcess.minmaxScale(s, Fixtures.luxTiles(s)).toDF()
+        .select(col("i"), col("j"), posexplode(col("pixels")).as(Seq("b0", "vals")))
+        .select(col("i"), col("j"), (col("b0") + 1).as("band"),
+          explode(col("vals")).as("v"))
+        .groupBy("i", "j", "band")
+        .agg(floor(sum(col("v").cast("double")) * lit(100.0)).cast("long").as("sum_fp"))
+    }),
+
+    // ---- J3/M3: histogram matching -----------------------------------------
+    "histogram_match" -> ((s, _) => {
+      import s.implicits._
+      val (src, ref) = Fixtures.histPair(s)
+      PostProcess.matchHistograms(src, ref).toDF()
+        .select(col("i"), col("j"),
+          floor(aggregate(flatten(col("pixels")), lit(0.0), (a, v) => a + v) * lit(100.0))
+            .cast("long").as("sum_fp"))
+    }),
+
+    // ---- M10–M12: generalize ------------------------------------------------
+    "generalize_3857" -> ((s, _) => {
+      val polys = PostProcess.polygonize(s, Fixtures.probChips(s), Fixtures.LuxAffine)
+      geomStats(s, PostProcess.generalize(polys, "epsg:4326", Some("epsg:3857"),
+        douglasTolerance = 0.1, chaikin = true))
+    }),
+
+    // ---- M9: spatial filter (halo-exchange convolution) ---------------------
+    "spatial_filter_gaussian" -> ((s, _) => {
+      import s.implicits._
+      PostProcess.spatialFilter(s, Fixtures.luxTiles(s, mode = "exact"), "gaussian", 5)
+        .toDF()
+        .select(col("i"), col("j"),
+          floor(aggregate(flatten(col("pixels")).cast("array<double>"), lit(0.0),
+            (a, v) => a + v) * lit(100.0)).cast("long").as("sum_fp"))
+    }),
+
+    // ---- S7/M4–M7: whole-raster masks ----------------------------------------
+    "make_masks" -> ((s, _) => {
+      val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
+      val chips = ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
+        labels = Some(labels),
+        cfg = ChipPipeline.ChipConfig(bands = Some(Seq(1, 2, 3, 4)),
+          classes = Some(Seq("A")), masks = Set("extent", "boundary", "distance")))
+      import s.implicits._
+      ChipPipeline.masksOf(s, chips)
+        .select("raster_id", "i", "j", "kind", "class_idx", "mask")
+        .as[(String, Int, Int, String, Int, Array[Byte])]
+        .map { case (rid, i, j, kind, ci, mask) =>
+          (rid, i, j, kind, ci, mask.count(_ != 0))
+        }
+        .toDF("raster_id", "i", "j", "kind", "class_idx", "n_nonzero")
+    }),
+
+    // ---- S12: retile ----------------------------------------------------------
+    "retile_64" -> ((s, _) => {
+      import s.implicits._
+      Regrid.retile(s, Fixtures.luxTiles(s), Fixtures.LuxWidth, Fixtures.LuxHeight, 64)
+        .toDF()
+        .select(col("i"), col("j"), col("col_off"), col("row_off"),
+          col("width"), col("height"),
+          floor(aggregate(flatten(col("pixels")).cast("array<double>"), lit(0.0),
+            (a, v) => a + v) * lit(100.0)).cast("long").as("sum_fp"))
     })
   )
+
+  /** Numeric summary of a WKB geometry table (geometry itself is not
+    * DuckDB-comparable): point count + fp6 bounds + fp6 area. */
+  private def geomStats(s: SparkSession, polys: DataFrame): DataFrame = {
+    import s.implicits._
+    polys.select(col("geom").as[Array[Byte]], col("dn").as[Int]).map { case (wkb, dn) =>
+      val g = Geom.fromWkb(wkb)
+      val e = g.getEnvelopeInternal
+      (dn, g.getNumPoints,
+        math.floor(e.getMinX * 1e6).toLong, math.floor(e.getMinY * 1e6).toLong,
+        math.floor(e.getMaxX * 1e6).toLong, math.floor(e.getMaxY * 1e6).toLong,
+        math.floor(g.getArea * 1e9).toLong)
+    }.toDF("dn", "n_points", "minx_fp", "miny_fp", "maxx_fp", "maxy_fp", "area_fp")
+  }
 
   val pipPentagon: Seq[(Double, Double)] = Seq(
     (-100.123, -40.234), (40.567, -55.111), (120.789, 10.456),
@@ -575,7 +678,29 @@ object QueryCatalog {
     "streaming_counts" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | CAST(FLOOR(sum(value)*1000000.0) AS BIGINT) AS sum_value_fp
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "filter_chips" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT i, j,
+         |  CASE WHEN ((row_off + y.y) BETWEEN 20 AND 59 AND (col_off + x.x) BETWEEN 100 AND 159)
+         |        OR ((row_off + y.y) BETWEEN 150 AND 199 AND (col_off + x.x) BETWEEN 300 AND 399)
+         |       THEN 40 ELSE 0 END AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x))
+         |SELECT 'prob' AS raster_id, i, j, max(v)::INT AS mx
+         |FROM px GROUP BY 2, 3 HAVING max(v) >= 13""".stripMargin,
+
+    "scale_minmax" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT i, j, b.b AS band,
+         |  CAST(CAST((b.b * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS REAL) AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x), range(1, 5) b(b)),
+         |st AS (SELECT band, min(v)::DOUBLE AS mn, max(v)::DOUBLE AS mx FROM px GROUP BY 1)
+         |SELECT p.i, p.j, p.band::INT AS band,
+         | CAST(FLOOR(SUM(CAST(CAST((v::DOUBLE - mn) / (mx - mn) AS REAL) AS DOUBLE)) * 100.0) AS BIGINT) AS sum_fp
+         |FROM px p JOIN st USING (band) GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** Shared CTE: distinct word w-shingles per doc (DuckDB side). */

@@ -44,6 +44,8 @@ object Streaming {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val agg = stream
+      // the parquet stores TIMESTAMP_NTZ; event-time watermarks need LTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"))

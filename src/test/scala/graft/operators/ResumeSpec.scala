@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+import graft.sources.{Fixtures, IcebergLite}
+
+/** North-rule resume semantics: (1) Structured Streaming checkpoint
+  * kill/resume produces the same final sink; (2) IcebergLite manifest
+  * anti-join resumes a partially-committed batch job without recomputing
+  * or duplicating committed work (satproc skip-existing, F6). */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  test("streaming with checkpoint: restart after completion adds nothing; output equals batch") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val sfDir = "/root/testdata/sf0.001"
+    Streaming.eventCountsCheckpointed(spark, sfDir, s"$tmp/ckpt", s"$tmp/out")
+    val first = spark.read.parquet(s"$tmp/out")
+    val n1 = first.count()
+    // restart with the same checkpoint: no new input ⇒ no duplicate output
+    Streaming.eventCountsCheckpointed(spark, sfDir, s"$tmp/ckpt", s"$tmp/out")
+    val n2 = spark.read.parquet(s"$tmp/out").count()
+    assert(n1 == n2, "checkpointed restart must be exactly-once")
+    // watermark append-mode emits only closed windows; every emitted row
+    // must match the batch aggregation
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"))
+    val emitted = first.join(batch, Seq("hour", "event_type"))
+      .where(first("n") === batch("n")).count()
+    assert(emitted == n1, "all emitted windows must equal batch results")
+  }
+
+  test("IcebergLite: manifest anti-join resumes a partial run; snapshot isolation hides uncommitted work") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-iceberg").toString
+    val table = new IcebergLite(tmp, spark)
+
+    // full work list = the 8 lux tiles
+    val work = Fixtures.luxTiles(spark).toDF()
+      .select(concat_ws("_", col("raster_id"), col("i"), col("j")).as("tile_key"))
+
+    // run 1 commits only 3 tiles (simulated crash after partial progress)
+    val part1 = work.limit(3)
+    table.commit(None, part1.select(col("tile_key").as("part_key")), "chips-append")
+    assert(table.currentSnapshot() == 1)
+    assert(table.manifests().count() == 3)
+
+    // resume: pending = work anti-join manifest
+    val pending = table.pendingWork(work, "tile_key")
+    assert(pending.count() == 5)
+    // committed keys are not in pending (no recompute), union is complete
+    val all = pending.select("tile_key")
+      .unionByName(table.manifests().select(col("part_key").as("tile_key")))
+    assert(all.distinct().count() == 8)
+
+    // run 2 commits the rest; resume now finds nothing
+    table.commit(None, pending.select(col("tile_key").as("part_key")), "chips-append")
+    assert(table.currentSnapshot() == 2)
+    assert(table.pendingWork(work, "tile_key").count() == 0)
+
+    // metrics side-table (north rule: per-partition lineage/metrics)
+    table.appendMetrics(Seq(("job1", "chips", 0, 8L, 8L, 123L))
+      .toDF("job_id", "stage", "partition", "rows_in", "rows_out", "wall_ms"))
+    assert(table.metrics().count() == 1)
+  }
+
+  test("pages written Iceberg-style and read back preserve the text invariant") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pages").toString
+    val table = new IcebergLite(tmp, spark)
+    val pages = Fixtures.pages(spark, 1000)
+    // partition the data files by lang (a stand-in for cell_prefix/days at scale)
+    table.commit(Some((pages.toDF(), "pages")),
+      pages.select(col("lang").as("part_key")).distinct().toDF(), "pages-ingest")
+    val back = spark.read.parquet(s"$tmp/data/pages")
+    assert(back.count() == 1000)
+    val bad = back.as[graft.sources.Model.Page]
+      .map(p => Fixtures.extractText(p.html) == p.text).filter(x => !x).count()
+    assert(bad == 0)
+  }
+}

@@ -364,6 +364,15 @@ object QueryCatalog {
         .toDF("raster_id", "i", "j", "kind", "class_idx", "n_nonzero")
     }),
 
+    // ---- multimodal batched decode (stubbed codec, real plumbing) ----------
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocs(s, docs(s, dir)))
+        .map(f => (f.doc_id, f.media_type, f.n_bytes, f.width, f.height,
+          math.floor(f.features.map(_.toDouble).sum * 1e6).toLong))
+        .toDF("doc_id", "media_type", "n_bytes", "width", "height", "feat_sum_fp")
+    }),
+
     // ---- S12: retile ----------------------------------------------------------
     "retile_64" -> ((s, _) => {
       import s.implicits._

@@ -38,10 +38,12 @@ object PagesTiling {
     * byte-identical extracted-text-per-url invariant. */
   def geotagged(spark: SparkSession, pages: Dataset[Page], res: Int): DataFrame = {
     import spark.implicits._
+    // asNondeterministic: stops Catalyst from duplicating the (expensive,
+    // html-decoding) extractor into inferred isnotnull pre-filters — the
+    // plan then evaluates it exactly once per row
     val extract = udf { (html: Array[Byte], text: String) =>
-      val (lat, lon) = Fixtures.extractLatLon(html)
-      (lat, lon, Fixtures.extractText(html) == text)
-    }
+      Fixtures.extractGeoAndCheck(html, text)
+    }.asNondeterministic()
     pages.toDF()
       .withColumn("geo", extract(col("html"), col("text")))
       .select(col("url"), col("warc_ts"), col("lang"),

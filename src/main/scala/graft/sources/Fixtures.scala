@@ -218,11 +218,82 @@ object Fixtures {
   /** Geotag extraction from the page html (meta geo.position tag). */
   def extractLatLon(html: Array[Byte]): (Double, Double) = {
     val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    latLonOf(s)
+  }
+
+  private def latLonOf(s: String): (Double, Double) = {
     val tag = "name=\"geo.position\" content=\""
     val a = s.indexOf(tag)
     if (a < 0) return (Double.NaN, Double.NaN)
     val b = s.indexOf('"', a + tag.length)
     val parts = s.substring(a + tag.length, b).split(';')
     (parts(0).toDouble, parts(1).toDouble)
+  }
+
+  /** Fused hot-path extractor: geotag + byte-identical text check parsed
+    * straight from the html BYTES — no per-row String materialization (the
+    * flagship runs this 10^12 times; a full decode per page is pure GC
+    * pressure). Non-ASCII text falls back to a real decode for correctness. */
+  def extractGeoAndCheck(html: Array[Byte], text: String): (Double, Double, Boolean) = {
+    val a = indexOfBytes(html, GeoTagBytes, 0)
+    val (lat, lon) =
+      if (a < 0) (Double.NaN, Double.NaN)
+      else {
+        val vStart = a + GeoTagBytes.length
+        val semi = indexOfByte(html, ';', vStart)
+        val quote = indexOfByte(html, '"', semi + 1)
+        (asciiToDouble(html, vStart, semi), asciiToDouble(html, semi + 1, quote))
+      }
+    val p0 = indexOfBytes(html, POpenBytes, 0)
+    val p1 = if (p0 < 0) -1 else indexOfBytes(html, PCloseBytes, p0 + 3)
+    val ok = p0 >= 0 && p1 >= 0 && regionEqualsUtf8(html, p0 + 3, p1, text)
+    (lat, lon, ok)
+  }
+
+  private val GeoTagBytes = "name=\"geo.position\" content=\"".getBytes
+  private val POpenBytes = "<p>".getBytes
+  private val PCloseBytes = "</p>".getBytes
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val end = hay.length - needle.length
+    while (i <= end) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def indexOfByte(hay: Array[Byte], c: Char, from: Int): Int = {
+    var i = from
+    while (i < hay.length) { if (hay(i) == c.toByte) return i; i += 1 }
+    -1
+  }
+
+  /** Exactly Double.parseDouble of the ASCII slice (same rounding as the
+    * String path — the slice is tiny, so the one small alloc is fine). */
+  private def asciiToDouble(b: Array[Byte], from: Int, until: Int): Double =
+    java.lang.Double.parseDouble(new String(b, from, until - from,
+      java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** html[from, until) as UTF-8 equals `text`? ASCII fast path, full decode
+    * fallback on any non-ASCII byte. */
+  private def regionEqualsUtf8(html: Array[Byte], from: Int, until: Int,
+                               text: String): Boolean = {
+    val n = until - from
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      val b = html(from + i)
+      if (b < 0) ascii = false
+      else {
+        if (i >= text.length || text.charAt(i) != b.toChar) return false
+        i += 1
+      }
+    }
+    if (ascii) n == text.length
+    else new String(html, from, n, java.nio.charset.StandardCharsets.UTF_8) == text
   }
 }

@@ -42,9 +42,12 @@ object Profile {
     timed("synth_in_memory")(Fixtures.pages(spark, n, 64).count())
     val geo = PagesTiling.geotagged(spark, pages, cfg.cellRes)
     timed("geotag_extract")(geo.count())
+    timed("geotag_forced")(geo.agg(sum("lat"), sum("cell")).head().getDouble(0))
+    timed("geotag_forced_2nd")(geo.agg(sum("lat"), sum("cell")).head().getDouble(0))
     val tiles = PagesTiling.tileCells(spark, meta, cfg)
     val assigned = PagesTiling.assignTiles(geo, tiles, cfg)
     timed("assign_join")(assigned.count())
+    timed("assign_join_2nd")(assigned.count())
     timed("full_chips")(PagesTiling.extractChips(spark, pages, meta,
       labels = Some(labels)).agg(sum("n_pages")).head().getLong(0))
     timed("full_chips_2nd")(PagesTiling.extractChips(spark, pages, meta,

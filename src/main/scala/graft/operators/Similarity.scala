@@ -48,30 +48,40 @@ object Similarity {
       (java.lang.Long.remainderUnsigned(h, 2001L).toDouble - 1000.0) / 1000.0
     }
 
-  /** IVF bucket id: argmax over nCentroids probe directions of the dot
-    * product (tie → lowest id). Pure column expression. */
-  def ivfBucket(emb: Column, dim: Int, nCentroids: Int): Column = {
-    val dots = (0 until nCentroids).map { d =>
-      val dir = direction(d, dim)
-      aggregate(zip_with(emb, array(dir.map(lit(_)): _*),
-        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v)
+  /** IVF coarse-quantizer centroids: a deterministic sample of the data
+    * itself (the classic random-init codebook; a k-means refinement would
+    * run as a handful of extra Spark jobs). Tiny — collected once and
+    * inlined as literals so assignment stays in codegen. */
+  def ivfCentroids(vectors: DataFrame, nCentroids: Int): Seq[Seq[Double]] = {
+    vectors.orderBy("vec_id").limit(nCentroids)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+  }
+
+  /** IVF bucket id: argmax cosine over the centroid codebook (tie → lowest
+    * id). Pure column expression over literal centroid arrays. */
+  def ivfBucket(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dots = centroids.map { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      aggregate(zip_with(emb, array(c.map(lit(_)): _*),
+        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v) / lit(norm)
     }
     val best = dots.reduce((a, b) => greatest(a, b))
-    (0 until nCentroids).foldRight(lit(-1)) { case (d, acc) =>
+    centroids.indices.foldRight(lit(-1)) { case (d, acc) =>
       when(dots(d) === best, lit(d)).otherwise(acc)
     }
   }
 
-  /** IVF top-k: probe only buckets whose direction-dot ranks in the top
-    * nProbe for the query. Recall < 1 by construction; the baseline for
-    * quality is bruteTopK. */
+  /** IVF top-k: probe only the nProbe nearest centroids' buckets. Recall <1
+    * by construction; the baseline for quality is bruteTopK. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val bucketed = vectors.withColumn("bucket", ivfBucket(col("embedding"), dim, nCentroids))
-    val qDots = (0 until nCentroids).map { d =>
-      val dir = direction(d, dim)
-      struct(aggregate(zip_with(col("qvec"), array(dir.map(lit(_)): _*),
-        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v).as("dot"),
+    val centroids = ivfCentroids(vectors, nCentroids)
+    val bucketed = vectors.withColumn("bucket", ivfBucket(col("embedding"), centroids))
+    val qDots = centroids.zipWithIndex.map { case (c, d) =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      struct((aggregate(zip_with(col("qvec"), array(c.map(lit(_)): _*),
+        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v) / lit(norm)).as("dot"),
         lit(d).as("d"))
     }
     val qBuckets = queries.withColumn("probes",

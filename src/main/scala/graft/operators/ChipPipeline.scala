@@ -212,6 +212,19 @@ object ChipPipeline {
     (mask, if (wantBoundary) bound else null, if (wantDistance) dist else null)
   }
 
+  /** A6 parity: per-class feature counts with the unknown-class accounting
+    * of classify_polygons (masks.py:245-279) — classes outside the
+    * whitelist are flagged (`known=false`), matching the reference's
+    * warning + count log, as a metrics-table row set. */
+  def classCounts(spark: SparkSession, labels: Seq[(Array[Byte], String)],
+                  classes: Option[Seq[String]]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = labels.groupBy(_._2).map { case (c, fs) =>
+      (c, fs.size.toLong, classes.forall(_.contains(c)))
+    }.toSeq
+    spark.createDataset(rows).toDF("class", "n_features", "known")
+  }
+
   /** Footprints table (S8/S9): id via row_number over (i, j) — deterministic
     * ordering, never partition order. Columns mirror utils.py:177-221
     * including the x=i / y=j quirk. */

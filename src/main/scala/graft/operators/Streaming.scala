@@ -36,13 +36,18 @@ object Streaming {
   }
 
   /** Watermarked append-mode variant with checkpointing — used by the
-    * resume test. Returns the sink table name. */
+    * resume test. Late rows beyond the watermark are dropped by the state
+    * operator; [[lateDrops]] surfaces the per-run count for the quarantine
+    * metrics row (north rule: late data accounted, not silently lost). */
   def eventCountsCheckpointed(spark: SparkSession, sfDir: String,
-                              checkpoint: String, sinkDir: String): Unit = {
+                              checkpoint: String, sinkDir: String,
+                              glob: String = "events.parquet",
+                              maxFilesPerTrigger: Option[Int] = None): Long = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    var rs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m => rs = rs.option("maxFilesPerTrigger", m.toString))
+    val stream = rs.parquet(sfDir)
     val agg = stream
       // the parquet stores TIMESTAMP_NTZ; event-time watermarks need LTZ
       .withColumn("ts", col("ts").cast("timestamp"))
@@ -55,5 +60,7 @@ object Streaming {
       .format("parquet").option("path", sinkDir)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // sum numRowsDroppedByWatermark over the run's progress updates
+    q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family for the training-data pipeline: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup. All pure
@@ -48,7 +49,11 @@ object Dedup {
     * jaccard ≥ minJaccard (kept as an exact fraction for determinism). */
   def minhashLsh(docs: DataFrame, w: Int = 3, nHashes: Int = 8,
                  rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    // signatures feed every band projection AND both sides of the
+    // candidate self-join — persist once or the shingle explode + minhash
+    // aggregation re-runs ~2·nBands times (at 100 TB: 8 extra full scans)
     val sig = minhashSignatures(docs, w, nHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nBands = nHashes / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -68,7 +73,10 @@ object Dedup {
     * cross join). */
   def verifyJaccard(docs: DataFrame, cand: DataFrame, w: Int,
                     minJaccard: Double): DataFrame = {
+    // the shingle-set table is referenced three times (both join sides +
+    // sizes) — persist instead of recomputing the explode+distinct shuffle
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
@@ -87,6 +95,7 @@ object Dedup {
     * (shingle-blocked join), verified exactly. */
   def ngramJaccard(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.3): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val cand = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
@@ -111,7 +120,8 @@ object Dedup {
   /** SimHash near-dup pairs: block by the 4 15-bit quarters (Hamming ≤ 3 ⇒
     * at least one quarter equal), verify Hamming distance exactly. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
+    // fingerprints feed 4 block projections × 2 join sides — persist
+    val sig = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK_SER)
     val blocks = (0 until 4).map(q =>
       sig.select(col("doc_id"), col("simhash"),
         lit(q).as("q"), shiftright(col("simhash"), q * 15).bitwiseAND(lit(0x7fffL)).as("qk")))

@@ -160,6 +160,43 @@ object PagesTiling {
     chips.toDF()
   }
 
+  /** Flagship with the north rule's bookkeeping: chips are committed to an
+    * Iceberg-style table with one manifest row per tile, a lineage row
+    * mapping each output tile to its input snapshot + covering cell range,
+    * and per-stage metrics. A rerun anti-joins the committed manifest and
+    * computes ONLY missing tiles (satproc skip-existing at job level;
+    * within-job retry is Spark-native task retry). Returns the number of
+    * chips committed in this run. */
+  def extractChipsResumable(spark: SparkSession, pages: Dataset[Page],
+                            meta: RasterMeta, table: graft.sources.IcebergLite,
+                            labels: Option[Seq[(Array[Byte], String)]] = None,
+                            cfg: TilingConfig = TilingConfig(),
+                            jobId: String = "pages-chips"): Long = {
+    import org.apache.spark.sql.functions.{col => c, _}
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val chips = extractChips(spark, pages, meta, labels, None, cfg)
+      .withColumn("tile_key", concat_ws("_", c("raster_id"), c("i"), c("j")))
+    val pending = table.pendingWork(chips, "tile_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = pending.count()
+    if (n > 0) {
+      val inputSnapshot = table.currentSnapshot()
+      val manifest = pending.select(c("tile_key").as("part_key"),
+        c("n_pages"), c("bad_text"))
+      table.commit(Some((pending.drop("tile_key"), "chips")), manifest, "chips-append")
+      // lineage: output tile → input snapshot + covering cells at cfg.cellRes
+      val lineage = pending.select(c("tile_key"), c("i"), c("j"))
+        .withColumn("input_snapshot", lit(inputSnapshot))
+        .withColumn("cell_res", lit(cfg.cellRes))
+      table.appendLineage(lineage)
+      table.appendMetrics(Seq((jobId, "chips", n,
+        System.currentTimeMillis() - t0)).toDF("job_id", "stage", "rows_out", "wall_ms"))
+    }
+    pending.unpersist()
+    n
+  }
+
   case class Bin(py: Int, px: Int, n: Long)
   case class BinnedTile(raster_id: String, i: Int, j: Int, col_off: Int,
                         row_off: Int, width: Int, height: Int,

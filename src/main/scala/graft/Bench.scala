@@ -25,7 +25,8 @@ object Bench {
 
     // ---- flagship: pages → tiles spatial join + chip extraction ----------
     val sf = sfDir.split("sf").last.toDoubleOption.getOrElse(0.1)
-    val nPages = math.max(20000L, (20000000L * sf).toLong) // sf0.1 → 2M pages
+    val nPages = sys.env.get("SPARK_GRAFT_PAGES").map(_.toLong)
+      .getOrElse(math.max(20000L, (20000000L * sf).toLong)) // sf0.1 → 2M pages
     val labels = sources.Fixtures.labelGeoms().map { case (g, c) =>
       (core.Geom.toWkb(g), c)
     }
@@ -65,7 +66,8 @@ object Bench {
     val throughput = (tilesAssigned + nChips) / flagshipSec
 
     // ---- headline catalog queries ----------------------------------------
-    val headline = Seq("q1_agg", "q3_join_topk", "q_window_rank", "spatial_join_tiles",
+    // SPARK_GRAFT_FLAGSHIP_ONLY=1 skips them (used by pinned scaling runs)
+    val headline = if (sys.env.contains("SPARK_GRAFT_FLAGSHIP_ONLY")) Seq.empty[String] else Seq("q1_agg", "q3_join_topk", "q_window_rank", "spatial_join_tiles",
       "cell_id", "knn", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
       "dedup_ngram_jaccard", "ann_topk", "ann_ivf", "token_count", "lang_id",
       "text_quality", "doc_fingerprint", "extract_chips", "filter_chips",

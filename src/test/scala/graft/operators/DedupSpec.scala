@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-duplicate recall: exact copies and near-copies must be found by
+  * every dedup method; degenerate inputs must not crash. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def docsWithDups = {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 50)
+    val dups = base.where(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    // near-duplicate: doc 3's text with one extra token appended
+    val near = base.where(col("doc_id") === 3)
+      .select(lit(20000L).as("doc_id"), concat(col("text"), lit(" extra")).as("text"))
+    base.unionByName(dups).unionByName(near)
+  }
+
+  test("exact dedup groups planted copies under the original keeper") {
+    val out = Dedup.exact(docsWithDups).where(col("n_copies") >= 2).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("keeper_id") < 10)) // min doc_id kept
+  }
+
+  test("minhash LSH finds every exact copy with jaccard 1 and the near-dup") {
+    val pairs = Dedup.minhashLsh(docsWithDups, minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_num"), r.getAs[Long]("jaccard_den")))
+    val exactPairs = pairs.filter { case (a, b, _, _) => b == a + 10000 }
+    assert(exactPairs.length == 10)
+    assert(exactPairs.forall { case (_, _, num, den) => num == den })
+    // near-dup (3, 20000): one changed shingle tail ⇒ high but <1 jaccard
+    assert(pairs.exists { case (a, b, num, den) =>
+      a == 3 && b == 20000 && num < den && num * 2 > den })
+  }
+
+  test("simhash pairs find exact copies at hamming 0") {
+    val pairs = Dedup.simhashPairs(docsWithDups, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    val exactPairs = pairs.filter { case (a, b, _) => b == a + 10000 }
+    assert(exactPairs.length == 10)
+    assert(exactPairs.forall(_._3 == 0))
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccard(docsWithDups, w = 3, minJaccard = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((3L, 20000L)))
+  }
+
+  test("degenerate inputs: short texts produce no shingles and no crashes") {
+    import spark.implicits._
+    val tiny = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    // w=5 > token counts ⇒ zero shingle rows ⇒ empty signatures/pairs
+    assert(Dedup.minhashSignatures(tiny, w = 5).count() == 0)
+    assert(Dedup.minhashLsh(tiny, w = 5).count() == 0)
+    assert(Dedup.ngramJaccard(tiny, w = 5).count() == 0)
+    // exact dedup still works on them
+    assert(Dedup.exact(tiny).count() == 3)
+  }
+}

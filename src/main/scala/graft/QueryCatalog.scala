@@ -256,6 +256,14 @@ object QueryCatalog {
         .withColumn("mean_token_len", fp6(col("mean_token_len")))
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
+    "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.mediaFromDocs(s, docs(s, dir)), n = 3)
+        .map(f => (f.doc_id, f.frame_idx,
+          math.floor(f.features.map(_.toDouble).sum * 1e6).toLong))
+        .toDF("doc_id", "frame_idx", "feat_sum_fp")
+    }),
 
     // ---- multimodal plumbing: opaque binary + typed metadata --------------
     "multimodal_extract" -> ((s, dir) =>
@@ -518,6 +526,14 @@ object QueryCatalog {
 
     "doc_fingerprint" ->
       s"SELECT doc_id, ${h60sql("text")} AS fingerprint FROM documents",
+
+    "doc_fingerprint_rolling" ->
+      s"""WITH ${sqlShingleCte(3).replace("SELECT DISTINCT", "SELECT")},
+         |h AS (SELECT doc_id, ${h60sql("sh")} AS h FROM sh)
+         |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+         | CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS fp_fold,
+         | count(*) AS n_windows
+         |FROM h GROUP BY 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tok AS (

@@ -56,6 +56,36 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real codec would decode → scale → re-encode; the fake
+    * derives the "resized" payload deterministically so downstream schema /
+    * partitioning behavior is testable. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.min(payload.length, w * h / 64 + 16))
+    var i = 0
+    while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+    out
+  }
+
+  /** Batched resize over the media table. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => r.copy(payload = resizeStub(r.payload, w, h))))
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, features: Array[Float])
+
+  /** STUB frame sampling: emit `n` deterministic frames per video payload —
+    * the flatMap shape (1 row → n frames) is the real pipeline plumbing. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      (0 until n).map { f =>
+        val (_, _, _, feats) = decodeStub(r.payload :+ f.toByte)
+        Frame(r.doc_id, f, feats)
+      }
+    }
+  }
+
   /** Build a media table from the documents table (payload = UTF-8 bytes of
     * text — the stand-in binary column for this environment). */
   def mediaFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -72,4 +72,18 @@ object TextOps {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+
+  /** Rolling-window fingerprint (winnowing-style): hash every 3-word
+    * window, fold with min / sum-mod — robust to local edits, pure
+    * relational (explode + agg, map-side combinable). */
+  def rollingFingerprints(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .withColumn("h", fingerprintCol(col("sh")))
+    sh.groupBy("doc_id").agg(
+      min("h").as("fp_min"),
+      max("h").as("fp_max"),
+      (sum(col("h") % lit(1000000007L)) % lit(1000000007L)).as("fp_fold"),
+      count(lit(1)).as("n_windows"))
+  }
 }

@@ -83,8 +83,8 @@ object QueryCatalog {
 
   /** DuckDB fragment: morton cell id at `res` from integer xi/yi columns. */
   private def sqlInterleave(xi: String, yi: String, res: Int): String =
-    s"""(SELECT SUM((( ($xi) >> b.b) & 1) * (1::BIGINT << (2*b.b + 1)) +
-       |            ((( $yi) >> b.b) & 1) * (1::BIGINT << (2*b.b)))
+    s"""(SELECT CAST(SUM((( ($xi) >> b.b) & 1) * (1::BIGINT << (2*b.b + 1)) +
+       |                 ((( $yi) >> b.b) & 1) * (1::BIGINT << (2*b.b))) AS BIGINT)
        | FROM range(0, $res) b(b))""".stripMargin.replace("\n", " ")
 
   private def sqlXIndex(lon: String, res: Int): String =
@@ -223,12 +223,14 @@ object QueryCatalog {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), w = 5, minJaccard = 0.25)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 12)),
+    // sign-LSH blocked near-dup pairs (identical 8-plane sign pattern →
+    // candidate, then exact verify). The oracle reproduces the SAME
+    // deterministic hyperplanes as SQL literals, so both engines block
+    // identically — and the Spark plan is a hash equi-join on the LSH key,
+    // never an all-pairs nested loop.
     "dedup_embedding" -> ((s, dir) => {
       val v = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val pairs = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
-      pairs.where(col("cos") >= 0.2)
+      Similarity.cosinePairs(v, tau = 0.2, dim = 64, nPlanes = 8)
         .select(col("vec_a"), col("vec_b"), fp6(col("cos")).as("cos_fp"))
     }),
 
@@ -257,9 +259,12 @@ object QueryCatalog {
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
+    // real frame sampling: decode 3 of 5 container PNG frames (evenly
+    // spaced) with javax.imageio; the oracle predicts the per-frame channel
+    // means analytically from the synth formula
     "multimodal_frames" -> ((s, dir) => {
       import s.implicits._
-      Multimodal.sampleFrames(Multimodal.mediaFromDocs(s, docs(s, dir)), n = 3)
+      Multimodal.sampleFrames(Multimodal.videosFromDocs(s, docs(s, dir)), n = 3)
         .map(f => (f.doc_id, f.frame_idx,
           math.floor(f.features.map(_.toDouble).sum * 1e6).toLong))
         .toDF("doc_id", "frame_idx", "feat_sum_fp")
@@ -300,10 +305,13 @@ object QueryCatalog {
         .withColumn("mx", col("mx").cast("int"))),
 
     // ---- M13+A4: polygonize + dissolve ------------------------------------
+    // FP-robust stats: pixel-count area (area / pixel-area, rounded) and
+    // fp6 envelope — the envelope corners are exact affine expressions the
+    // oracle re-derives analytically from the blob definition
     "polygonize_dissolve" -> ((s, _) => {
       val out = PostProcess.polygonize(s, Fixtures.probChips(s), Fixtures.LuxAffine,
         threshold = Some(0.02))
-      geomStats(s, out)
+      pixelRegionStats(s, out, math.abs(Fixtures.LuxPxX * Fixtures.LuxPxY))
     }),
 
     // ---- M8/J2/A5: smooth stitch -------------------------------------------
@@ -356,29 +364,24 @@ object QueryCatalog {
     }),
 
     // ---- S7/M4–M7: whole-raster masks ----------------------------------------
-    "make_masks" -> ((s, _) => {
-      val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
-      val chips = ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
-        labels = Some(labels),
-        cfg = ChipPipeline.ChipConfig(bands = Some(Seq(1, 2, 3, 4)),
-          classes = Some(Seq("A")), masks = Set("extent", "boundary", "distance")))
-      import s.implicits._
-      ChipPipeline.masksOf(s, chips)
-        .select("raster_id", "i", "j", "kind", "class_idx", "mask")
-        .as[(String, Int, Int, String, Int, Array[Byte])]
-        .map { case (rid, i, j, kind, ci, mask) =>
-          (rid, i, j, kind, ci, mask.count(_ != 0))
-        }
-        .toDF("raster_id", "i", "j", "kind", "class_idx", "n_nonzero")
-    }),
+    // `make_masks` gates the extent kind against a DuckDB re-derivation of
+    // the GDAL scanline fill; `make_masks_all` keeps the full
+    // extent/boundary/distance surface (Bresenham + chamfer are pinned by
+    // ScalaTest goldens, not SQL-expressible at parity).
+    "make_masks" -> ((s, _) =>
+      maskCounts(s).where(col("kind") === lit("extent"))),
+    "make_masks_all" -> ((s, _) => maskCounts(s)),
 
-    // ---- multimodal batched decode (stubbed codec, real plumbing) ----------
+    // ---- multimodal batched decode (REAL javax.imageio PNG decode) ---------
+    // the decoded width/height/channel-means must reproduce what was
+    // encoded — the oracle derives them analytically, so a broken decode
+    // cannot hash-match
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      Multimodal.decodeFeatures(Multimodal.mediaFromDocs(s, docs(s, dir)))
-        .map(f => (f.doc_id, f.media_type, f.n_bytes, f.width, f.height,
+      Multimodal.decodeFeatures(Multimodal.imagesFromDocs(s, docs(s, dir)))
+        .map(f => (f.doc_id, f.media_type, f.width, f.height, f.width * f.height,
           math.floor(f.features.map(_.toDouble).sum * 1e6).toLong))
-        .toDF("doc_id", "media_type", "n_bytes", "width", "height", "feat_sum_fp")
+        .toDF("doc_id", "media_type", "width", "height", "n_px", "feat_sum_fp")
     }),
 
     // ---- S12: retile ----------------------------------------------------------
@@ -392,6 +395,39 @@ object QueryCatalog {
             (a, v) => a + v) * lit(100.0)).cast("long").as("sum_fp"))
     })
   )
+
+  /** Shared make_masks pipeline: per-chip nonzero counts of each requested
+    * mask kind over the fixture labels. */
+  private def maskCounts(s: SparkSession): DataFrame = {
+    val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
+    val chips = ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
+      labels = Some(labels),
+      cfg = ChipPipeline.ChipConfig(bands = Some(Seq(1, 2, 3, 4)),
+        classes = Some(Seq("A")), masks = Set("extent", "boundary", "distance")))
+    import s.implicits._
+    ChipPipeline.masksOf(s, chips)
+      .select("raster_id", "i", "j", "kind", "class_idx", "mask")
+      .as[(String, Int, Int, String, Int, Array[Byte])]
+      .map { case (rid, i, j, kind, ci, mask) =>
+        (rid, i, j, kind, ci, mask.count(_ != 0).toLong)
+      }
+      .toDF("raster_id", "i", "j", "kind", "class_idx", "n_nonzero")
+  }
+
+  /** FP-robust stats for rectilinear pixel-region polygons: dn, pixel-count
+    * area (exact under any FP sliver noise), fp6 envelope (exact affine
+    * corner expressions). */
+  private def pixelRegionStats(s: SparkSession, polys: DataFrame,
+                               pxArea: Double): DataFrame = {
+    import s.implicits._
+    polys.select(col("geom").as[Array[Byte]], col("dn").as[Int]).map { case (wkb, dn) =>
+      val g = Geom.fromWkb(wkb)
+      val e = g.getEnvelopeInternal
+      (dn, math.floor(g.getArea / pxArea + 0.5).toLong,
+        math.floor(e.getMinX * 1e6).toLong, math.floor(e.getMinY * 1e6).toLong,
+        math.floor(e.getMaxX * 1e6).toLong, math.floor(e.getMaxY * 1e6).toLong)
+    }.toDF("dn", "n_px", "minx_fp", "miny_fp", "maxx_fp", "maxy_fp")
+  }
 
   /** Numeric summary of a WKB geometry table (geometry itself is not
     * DuckDB-comparable): point count + fp6 bounds + fp6 area. */
@@ -410,6 +446,18 @@ object QueryCatalog {
   val pipPentagon: Seq[(Double, Double)] = Seq(
     (-100.123, -40.234), (40.567, -55.111), (120.789, 10.456),
     (10.321, 70.654), (-140.987, 30.999))
+
+  /** The two distinct label rings (open form — the oracle closes them),
+    * taken straight from the fixture geometries so the SQL literals are the
+    * identical doubles the executors rasterize. */
+  private def labelRings: Seq[Seq[(Double, Double)]] =
+    Seq(0, 2).map { k =>
+      Fixtures.labelGeoms()(k)._1.asInstanceOf[org.locationtech.jts.geom.Polygon]
+        .getExteriorRing.getCoordinates.dropRight(1).toSeq.map(c => (c.x, c.y))
+    }
+
+  // AOI fixture box bounds (Fixtures.aoiGeoms)
+  private val aoiB = (5.982763948, 50.094170213, 6.002821601, 50.113968500)
 
   val knnQueryPoints: Seq[(Long, Double, Double)] =
     (0 until 10).map(q => (q.toLong,
@@ -546,7 +594,7 @@ object QueryCatalog {
          | FROM h, range(0, 60) b(b) GROUP BY 1, 2
          |)
          |SELECT doc_id,
-         | SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         | CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY 1""".stripMargin,
 
     "multimodal_extract" ->
@@ -666,12 +714,110 @@ object QueryCatalog {
          |SELECT qid, rank::INT AS rank, vec_id, CAST(FLOOR(cos*1000000.0) AS BIGINT) AS cos_fp
          |FROM r WHERE rank <= 10""".stripMargin,
 
-    "dedup_embedding" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    "dedup_embedding" -> {
+      // the EXACT deterministic hyperplanes of Similarity.cosinePairs as
+      // literals: both engines block by the same 8-bit sign pattern
+      val lsh = (0 until 8).map { d =>
+        val dir = Similarity.direction(100 + d, 64).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, $dir::DOUBLE[]) >= 0 THEN ${1L << d} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sig AS (SELECT vec_id, e, $lsh AS lsh FROM v)
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          | CAST(FLOOR(${sqlCosinePair}*1000000.0) AS BIGINT) AS cos_fp
-         |FROM v x JOIN v y ON x.vec_id < y.vec_id
-         |WHERE $sqlCosinePair >= 0.2""".stripMargin,
+         |FROM sig x JOIN sig y ON x.lsh = y.lsh AND x.vec_id < y.vec_id
+         |WHERE $sqlCosinePair >= 0.2""".stripMargin
+    },
+
+    "ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS d, e
+         | FROM v ORDER BY vec_id LIMIT 16),
+         |ad AS (
+         | SELECT v.vec_id, c.d,
+         |  list_dot_product(v.e, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
+         | FROM v, cent c),
+         |assign AS (
+         | SELECT vec_id, d AS bucket FROM (
+         |  SELECT vec_id, d, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, d) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |qd AS (
+         | SELECT q.qid, c.d,
+         |  list_dot_product(q.qe, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
+         | FROM q, cent c),
+         |qprobe AS (
+         | SELECT qid, d AS bucket FROM (
+         |  SELECT qid, d, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, d DESC) AS rn
+         |  FROM qd) WHERE rn <= 4),
+         |cand AS (
+         | SELECT q.qid, v.vec_id, $sqlCosine AS cos
+         | FROM qprobe p
+         | JOIN assign a ON a.bucket = p.bucket
+         | JOIN v ON v.vec_id = a.vec_id
+         | JOIN q ON q.qid = p.qid
+         | WHERE v.vec_id <> p.qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         | FROM cand)
+         |SELECT qid, rank::INT AS rank, vec_id, CAST(FLOOR(cos*1000000.0) AS BIGINT) AS cos_fp
+         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "retile_64" -> OracleSql.retile64,
+
+    "spatial_filter_gaussian" -> OracleSql.spatialFilterGaussian,
+
+    "smooth_stitch" -> OracleSql.smoothStitch(1.5),
+
+    "histogram_match" -> OracleSql.histogramMatch,
+
+    "pages_chips" -> OracleSql.pagesChips(20000,
+      OracleSql.gridWithBounds(128, 128, "whole_overlap")),
+
+    "make_masks" ->
+      s"""WITH grid AS (SELECT * FROM ${OracleSql.gridValues(128, 128, "whole_overlap")}),
+         |${OracleSql.extentCountCte(labelRings)}
+         |SELECT 'lux1' AS raster_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+         | 'extent' AS kind, 0 AS class_idx, CAST(n_ext AS BIGINT) AS n_nonzero
+         |FROM extcnt WHERE n_ext > 0""".stripMargin,
+
+    "extract_chips" ->
+      s"""WITH grid AS (SELECT * FROM ${OracleSql.gridValues(128, 128, "whole_overlap")}),
+         |${OracleSql.extentCountCte(labelRings)},
+         |kept AS (
+         | SELECT g.i, g.j,
+         |  $C + g.col_off * $A AS minx,
+         |  $F + (g.row_off + g.win_height) * ($E) AS miny,
+         |  $C + (g.col_off + g.win_width) * $A AS maxx,
+         |  $F + g.row_off * ($E) AS maxy
+         | FROM grid g JOIN extcnt e ON e.i = g.i AND e.j = g.j
+         | WHERE e.n_ext > 0
+         |  AND $C + g.col_off * $A <= ${aoiB._3}
+         |  AND $C + (g.col_off + g.win_width) * $A >= ${aoiB._1}
+         |  AND $F + (g.row_off + g.win_height) * ($E) <= ${aoiB._4}
+         |  AND $F + g.row_off * ($E) >= ${aoiB._2})
+         |SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS INT) AS id,
+         | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
+         | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename
+         |FROM kept""".stripMargin,
+
+    "multimodal_features" -> OracleSql.multimodalFeatures,
+
+    "multimodal_frames" -> OracleSql.multimodalFrames,
+
+    "polygonize_dissolve" ->
+      s"""SELECT 255 AS dn, CAST(2400 AS BIGINT) AS n_px,
+         | CAST(FLOOR(($C + 100 * $A) * 1000000.0) AS BIGINT) AS minx_fp,
+         | CAST(FLOOR(($F + 60 * ($E)) * 1000000.0) AS BIGINT) AS miny_fp,
+         | CAST(FLOOR((($C + 128 * $A) + 32 * $A) * 1000000.0) AS BIGINT) AS maxx_fp,
+         | CAST(FLOOR(($F + 20 * ($E)) * 1000000.0) AS BIGINT) AS maxy_fp
+         |UNION ALL
+         |SELECT 255, CAST(5000 AS BIGINT),
+         | CAST(FLOOR((($C + 256 * $A) + 44 * $A) * 1000000.0) AS BIGINT),
+         | CAST(FLOOR((($F + 88 * ($E)) + 112 * ($E)) * 1000000.0) AS BIGINT),
+         | CAST(FLOOR((($C + 355 * $A) + 45 * $A) * 1000000.0) AS BIGINT),
+         | CAST(FLOOR((($F + 88 * ($E)) + 62 * ($E)) * 1000000.0) AS BIGINT)""".stripMargin,
 
     "cell_cover" -> {
       val res = 16

@@ -21,6 +21,12 @@ package graft.core
 object CellIndex {
   val MaxRes = 30
 
+  /** Hard cap on one cover's size: a near-global bbox at high res would
+    * otherwise overflow the Int allocation (2^32 cells at res 16) — and an
+    * 8M-cell cover is a planning bug, not a real probe. SQL-exposed via
+    * the cell_cover expression, so user queries can hit it. */
+  val MaxCoverCells = 1L << 23
+
   /** Spread the low 31 bits of v so bit k moves to bit 2k (morton part). */
   @inline def spreadBits(v0: Long): Long = {
     var v = v0 & 0x7fffffffL
@@ -80,7 +86,11 @@ object CellIndex {
     val x0 = xIndex(minLon, res); val x1 = xIndex(maxLon, res)
     // y axis is inverted (north=0)
     val y0 = yIndex(maxLat, res); val y1 = yIndex(minLat, res)
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val nCells = (x1 - x0 + 1) * (y1 - y0 + 1) // Long: no Int overflow
+    require(nCells <= MaxCoverCells,
+      s"cellCover: bbox covers $nCells cells at res=$res (cap $MaxCoverCells); " +
+        "lower the resolution or split the bbox")
+    val out = new Array[Long](nCells.toInt)
     var k = 0
     var yi = y0
     while (yi <= y1) {

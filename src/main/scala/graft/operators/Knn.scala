@@ -48,13 +48,16 @@ object Knn {
       val topk = cand.withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("qid", "rank", "id", "dist2")
-      // stop when every query has k hits and its k-th distance beats the
-      // closest possible unexplored point (gap ≥ r·cellH)
+      // stop when every query has k hits and its k-th distance STRICTLY beats
+      // the closest possible unexplored point (gap ≥ r·cellH). Strict < :
+      // at kd == bound an unprobed point at exactly that distance with a
+      // smaller id would win the row_number tie-break, so one more (cheap)
+      // expansion round is required to certify the ordering.
       val bound = (r.toDouble * cellH) * (r.toDouble * cellH)
       val stats = topk.groupBy("qid").agg(count(lit(1)).as("n"), max("dist2").as("kd"))
         .collect().map(x => (x.getAs[Long]("n"), x.getAs[Double]("kd")))
       val allOk = stats.length == qRows.length &&
-        stats.forall { case (n, kd) => n >= k && kd <= bound }
+        stats.forall { case (n, kd) => n >= k && kd < bound }
       if (allOk || r >= maxR) { result = topk; done = true }
       else r = math.min(r * 2, maxR)
     }

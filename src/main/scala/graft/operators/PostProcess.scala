@@ -111,9 +111,14 @@ object PostProcess {
 
   // ---- M8 + J2 + A5: smooth stitch ---------------------------------------
 
-  /** Overlapping chips → spline-weighted → interval-joined to a
-    * non-overlapping output grid → pixelwise max merge
-    * (reference: smooth.py:128-204). One shuffle (the bbox join + groupBy). */
+  /** Overlapping chips → spline-weighted → assigned to a non-overlapping
+    * output grid → pixelwise max merge (reference: smooth.py:128-204).
+    * Each chip's overlapping output-window keys (oi, oj) are computed
+    * arithmetically (the output grid is uniform, stride = chipSize — same
+    * trick as Regrid.retile), so the chip×window assignment is a broadcast
+    * hash EQUI-join on (oi, oj), never a nested-loop bbox join: at 100×
+    * raster area the cost stays O(chips · overlap), not O(chips · windows).
+    * One shuffle (the merge groupBy). */
   def smoothStitch(spark: SparkSession, chips: Dataset[Tile], affine: Affine,
                    power: Double = 1.5): DataFrame = {
     import spark.implicits._
@@ -147,13 +152,17 @@ object PostProcess {
     val outDf = spark.createDataset(outGrid)
       .toDF("oi", "oj", "ocol", "orow", "ow", "oh")
 
-    // interval join chip×window on pixel-space bbox overlap; the output grid
-    // is tiny (≤ #tiles) so it broadcasts — the J2 R-tree probe as a join
-    val joined = weighted.toDF().join(broadcast(outDf),
-      col("col_off") < col("ocol") + col("ow") &&
-        col("col_off") + col("width") > col("ocol") &&
-        col("row_off") < col("orow") + col("oh") &&
-        col("row_off") + col("height") > col("orow"))
+    // J2 cell-key join: the exact-mode output grid tiles [r0,r1)×[c0,c1)
+    // without overlap, so a chip's covering windows are an index range —
+    // explode the range, equi-join (broadcast hash join on (oi, oj))
+    val joined = weighted.toDF()
+      .withColumn("oi", explode(sequence(
+        ((col("row_off") - lit(r0)) / lit(chipSize)).cast("int"),
+        ((col("row_off") + col("height") - lit(1) - lit(r0)) / lit(chipSize)).cast("int"))))
+      .withColumn("oj", explode(sequence(
+        ((col("col_off") - lit(c0)) / lit(chipSize)).cast("int"),
+        ((col("col_off") + col("width") - lit(1) - lit(c0)) / lit(chipSize)).cast("int"))))
+      .join(broadcast(outDf), Seq("oi", "oj"))
 
     // place chip into output window coords (NaN outside), then pixelwise max
     val placed = joined.as[PlacedChip].map { p =>
@@ -264,27 +273,34 @@ object PostProcess {
 
   /** Gaussian/median blur over the full (virtually mosaicked) raster,
     * executed per tile with a halo of `r` pixels exchanged between the 8
-    * neighbors: flatMap fragments keyed by target tile → groupBy assemble →
-    * convolve → crop. One shuffle whose volume is tiles + halos. Grid must
-    * be non-overlapping ("exact" mode). */
+    * neighbors: flatMap halo STRIPS keyed by target tile → groupBy assemble
+    * → convolve → crop. Each neighbor receives only the r-pixel border
+    * fragment it actually needs (the exact-mode grid is contiguous, so the
+    * strip is computable from the source tile alone), making the shuffle
+    * volume tiles + halos ≈ 1× the raster — not 9× as full-tile replication
+    * would be. Grid must be non-overlapping ("exact" mode). */
   def spatialFilter(spark: SparkSession, tiles: Dataset[Tile], mode: String,
                     ksize: Int, rasterW: Int = graft.sources.Fixtures.LuxWidth,
                     rasterH: Int = graft.sources.Fixtures.LuxHeight): Dataset[Tile] = {
     import spark.implicits._
     require(ksize % 2 == 1, "kernel size must be odd (spatial_filter.py:18-23)")
     val r = ksize / 2
-    // fragments: each tile contributes itself to all 8 neighbors' groups
+    // fragments: each tile contributes its r-pixel border strips to the 8
+    // neighbors' groups and itself (whole) to its own group
     val frags = tiles.flatMap { t =>
       for {
         di <- -1 to 1; dj <- -1 to 1
         ti = t.i + di; tj = t.j + dj
         if ti >= 0 && tj >= 0
-      } yield (ti, tj, t)
+        f <- haloFragment(t, di, dj, r)
+      } yield (ti, tj, f)
     }
     frags.groupByKey(f => (f._1, f._2))
       .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Tile)]) =>
         val (ti, tj) = key
         val parts = it.toSeq
+        // the center arrives whole (haloFragment ships it uncropped), so
+        // width/height below are the true tile dims
         val center = parts.map(_._3).find(t => t.i == ti && t.j == tj)
         center match {
           case None => Iterator.empty
@@ -333,5 +349,33 @@ object PostProcess {
             Iterator.single(c.copy(pixels = blurred))
         }
       }
+  }
+
+  /** The fragment of `t` that the neighbor at (t.i+di, t.j+dj) needs for an
+    * r-pixel halo: the r rows/cols adjacent to the shared edge (corner
+    * fragments are r×r). (0,0) returns the whole tile. Relies on the
+    * exact-mode grid being contiguous: a neighbor's padded region extends
+    * exactly r pixels into this tile. Offsets/dims are rewritten so the
+    * assembler places the fragment by raster coordinates as before. */
+  private[operators] def haloFragment(t: Tile, di: Int, dj: Int, r: Int): Option[Tile] = {
+    if (di == 0 && dj == 0) return Some(t)
+    val y0 = if (di > 0) math.max(t.height - r, 0) else 0
+    val y1 = if (di < 0) math.min(r, t.height) else t.height
+    val x0 = if (dj > 0) math.max(t.width - r, 0) else 0
+    val x1 = if (dj < 0) math.min(r, t.width) else t.width
+    val fw = x1 - x0; val fh = y1 - y0
+    if (fw <= 0 || fh <= 0) None
+    else {
+      val px = t.pixels.map { band =>
+        val out = new Array[Float](fw * fh)
+        var y = 0
+        while (y < fh) {
+          System.arraycopy(band, (y0 + y) * t.width + x0, out, y * fw, fw)
+          y += 1
+        }
+        out
+      }
+      Some(Tile(t.raster_id, t.i, t.j, t.col_off + x0, t.row_off + y0, fw, fh, px))
+    }
   }
 }

@@ -226,8 +226,11 @@ object Fixtures {
     val a = s.indexOf(tag)
     if (a < 0) return (Double.NaN, Double.NaN)
     val b = s.indexOf('"', a + tag.length)
+    if (b < 0) return (Double.NaN, Double.NaN)
     val parts = s.substring(a + tag.length, b).split(';')
-    (parts(0).toDouble, parts(1).toDouble)
+    if (parts.length < 2) return (Double.NaN, Double.NaN)
+    try (parts(0).toDouble, parts(1).toDouble)
+    catch { case _: NumberFormatException => (Double.NaN, Double.NaN) }
   }
 
   /** Fused hot-path extractor: geotag + byte-identical text check parsed
@@ -241,8 +244,13 @@ object Fixtures {
       else {
         val vStart = a + GeoTagBytes.length
         val semi = indexOfByte(html, ';', vStart)
-        val quote = indexOfByte(html, '"', semi + 1)
-        (asciiToDouble(html, vStart, semi), asciiToDouble(html, semi + 1, quote))
+        val quote = if (semi < 0) -1 else indexOfByte(html, '"', semi + 1)
+        // malformed tag value (no ';' / no closing quote / non-numeric) is
+        // routine in crawl data: degrade to NaN exactly like a missing tag —
+        // the downstream point-in-window refine discards NaN rows
+        if (semi < 0 || quote < 0) (Double.NaN, Double.NaN)
+        else try (asciiToDouble(html, vStart, semi), asciiToDouble(html, semi + 1, quote))
+        catch { case _: NumberFormatException => (Double.NaN, Double.NaN) }
       }
     val p0 = indexOfBytes(html, POpenBytes, 0)
     val p1 = if (p0 < 0) -1 else indexOfBytes(html, PCloseBytes, p0 + 3)

@@ -3,41 +3,73 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
 
 /** Minimal Iceberg-style table layout (no Iceberg runtime is available in
   * this environment — SURVEY.md §7.4/§7.3 item 5): Parquet data files plus
   * append-only metadata side-tables with snapshot semantics at the logical
   * level:
   *
-  *   <root>/data/...                parquet data (partitioned)
+  *   <root>/data/<sub>/snapshot_id=<snap>/   parquet data, tied to a snapshot
   *   <root>/metadata/snapshots/     snapshot_id, ts_ms, operation, rows
   *   <root>/metadata/manifests/     snapshot_id, partition key, rows, status
   *   <root>/metadata/metrics/       per-partition job metrics (north rule)
   *   <root>/metadata/lineage/       output key → input snapshot/cell range
-  *   <root>/VERSION                 last committed snapshot id (atomic move)
+  *   <root>/SEQ                     persisted snapshot-id counter (atomic move)
+  *   <root>/VERSION                 committed snapshot ids, one per line
   *
-  * Commit = write data, append manifests+snapshot row, then atomically
-  * replace VERSION. Readers resolve VERSION first, so a crashed writer is
-  * invisible (snapshot isolation for append-only workloads). The manifest
-  * table doubles as the resume mechanism: work already present for the
-  * current snapshot is anti-joined away (satproc's skip-existing, F6,
-  * reference: satproc/chips.py:227-233).
+  * Commit = allocate a FRESH snapshot id from the persisted SEQ counter,
+  * write data under data/<sub>/snapshot_id=<snap>/, append manifests +
+  * snapshot row carrying that id, then atomically append the id to VERSION.
+  * Readers ([[readData]], [[manifests]]) resolve VERSION first and select
+  * only rows/files of committed snapshots, so a crashed writer's orphan
+  * files and manifest rows stay invisible forever (snapshot isolation for
+  * append-only workloads): a torn commit's id is consumed by SEQ and never
+  * appears in VERSION, and the retry runs under a new id, so no replay can
+  * resurrect orphans. The manifest table doubles as the resume mechanism:
+  * work already present for a committed snapshot is anti-joined away
+  * (satproc's skip-existing, F6, reference: satproc/chips.py:227-233).
   */
 class IcebergLite(root: String, spark: SparkSession) {
   private val metaDir = s"$root/metadata"
   private def versionFile = Paths.get(root, "VERSION")
+  private def seqFile = Paths.get(root, "SEQ")
 
-  def currentSnapshot(): Long =
-    if (Files.exists(versionFile)) new String(Files.readAllBytes(versionFile)).trim.toLong
-    else 0L
+  /** Committed snapshot ids in commit order (VERSION file, one per line). */
+  def committedSnapshots(): Seq[Long] =
+    if (Files.exists(versionFile))
+      new String(Files.readAllBytes(versionFile)).split('\n')
+        .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    else Seq.empty
+
+  def currentSnapshot(): Long = committedSnapshots().lastOption.getOrElse(0L)
+
+  /** Allocate a fresh snapshot id from the persisted counter. Ids consumed
+    * by torn commits are never reused, so a retry can never write under an
+    * orphan's id and accidentally legitimize its files. */
+  private def allocateSnapshotId(): Long = {
+    Files.createDirectories(Paths.get(root))
+    val prev =
+      if (Files.exists(seqFile)) new String(Files.readAllBytes(seqFile)).trim.toLong
+      else 0L
+    val next = prev + 1
+    val tmp = Paths.get(root, s".SEQ.$next.tmp")
+    Files.write(tmp, next.toString.getBytes, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, seqFile, ATOMIC_MOVE, REPLACE_EXISTING)
+    next
+  }
 
   /** Append a data batch as a new snapshot. `manifest` must contain one row
-    * per logical work unit (e.g. tile) with a `part_key` column. */
+    * per logical work unit (e.g. tile) with a `part_key` column.
+    * `abortBeforeVersionMove` is a crash-injection hook for tests: it
+    * simulates a writer dying after all file writes but before the atomic
+    * VERSION publish (the torn-commit window). */
   def commit(data: Option[(DataFrame, String)], manifest: DataFrame,
-             operation: String): Long = {
-    val snap = currentSnapshot() + 1
+             operation: String, abortBeforeVersionMove: Boolean = false): Long = {
+    val snap = allocateSnapshotId()
     data.foreach { case (df, sub) =>
-      df.write.mode(SaveMode.Append).parquet(s"$root/data/$sub")
+      df.write.mode(SaveMode.Append).parquet(s"$root/data/$sub/snapshot_id=$snap")
     }
     manifest.withColumn("snapshot_id", lit(snap))
       .write.mode(SaveMode.Append).parquet(s"$metaDir/manifests")
@@ -46,30 +78,39 @@ class IcebergLite(root: String, spark: SparkSession) {
     Seq((snap, System.currentTimeMillis(), operation, rows))
       .toDF("snapshot_id", "ts_ms", "operation", "rows")
       .write.mode(SaveMode.Append).parquet(s"$metaDir/snapshots")
-    Files.createDirectories(Paths.get(root))
+    if (abortBeforeVersionMove) return snap // simulated crash: id burned, nothing published
     val tmp = Paths.get(root, s".VERSION.$snap.tmp")
-    Files.write(tmp, snap.toString.getBytes, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, versionFile, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.write(tmp, (committedSnapshots() :+ snap).mkString("\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, versionFile, ATOMIC_MOVE, REPLACE_EXISTING)
     snap
+  }
+
+  /** Snapshot-isolated data reader: only files under committed snapshot
+    * directories are visible (partition pruning on snapshot_id does the
+    * file-level selection — orphan directories are never opened). */
+  def readData(sub: String): DataFrame = {
+    val committed = committedSnapshots()
+    if (committed.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(s"$root/data/$sub")
+      .where(col("snapshot_id").isin(committed: _*))
+      .drop("snapshot_id")
   }
 
   /** Committed manifest rows visible at the current snapshot. */
   def manifests(): DataFrame = {
-    val snap = currentSnapshot()
-    if (snap == 0) spark.emptyDataFrame
-    else spark.read.parquet(s"$metaDir/manifests").where(col("snapshot_id") <= snap)
+    val committed = committedSnapshots()
+    if (committed.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(s"$metaDir/manifests")
+      .where(col("snapshot_id").isin(committed: _*))
   }
 
   /** Resume filter: drop work units whose part_key is already committed
     * (anti-join against the manifest — satproc skip-existing semantics). */
-  def pendingWork(work: DataFrame, keyCol: String): DataFrame = {
-    val snap = currentSnapshot()
-    if (snap == 0) work
+  def pendingWork(work: DataFrame, keyCol: String): DataFrame =
+    if (committedSnapshots().isEmpty) work
     else work.join(manifests().select(col("part_key").as(keyCol)).distinct(),
       Seq(keyCol), "left_anti")
-  }
 
   /** Append per-partition metrics rows (job_id, stage, partition, rows_in,
     * rows_out, wall_ms, checksum) — the north rule's lineage/metrics tables. */

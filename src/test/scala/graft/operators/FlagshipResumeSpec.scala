@@ -24,7 +24,7 @@ class FlagshipResumeSpec extends AnyFunSuite {
 
     assert(run() == 8) // first run commits all 8 tiles
     assert(run() == 0) // rerun: manifest anti-join finds nothing pending
-    val data = spark.read.parquet(s"$tmp/data/chips")
+    val data = table.readData("chips")
     assert(data.count() == 8)
     // lineage + metrics side-tables populated
     assert(spark.read.parquet(s"$tmp/metadata/lineage").count() == 8)
@@ -34,7 +34,7 @@ class FlagshipResumeSpec extends AnyFunSuite {
     // manifest rows committed, then resume
     val tmp2 = Files.createTempDirectory("flagship2").toString
     val table2 = new IcebergLite(tmp2, spark)
-    val all = spark.read.parquet(s"$tmp/data/chips")
+    val all = table.readData("chips")
       .withColumn("tile_key", concat_ws("_", col("raster_id"), col("i"), col("j")))
     val part = all.limit(3)
     table2.commit(Some((part.drop("tile_key"), "chips")),
@@ -42,7 +42,7 @@ class FlagshipResumeSpec extends AnyFunSuite {
     val resumed = PagesTiling.extractChipsResumable(spark,
       Fixtures.pages(spark, 20000), Fixtures.luxMeta(), table2, Some(labels))
     assert(resumed == 5) // only the 5 missing tiles recomputed
-    val final2 = spark.read.parquet(s"$tmp2/data/chips")
+    val final2 = table2.readData("chips")
     assert(final2.count() == 8)
     // resumed table content equals the from-scratch run (same tiles, same counts)
     val a = data.select("raster_id", "i", "j", "n_pages").collect()

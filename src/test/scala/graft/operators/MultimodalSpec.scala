@@ -20,6 +20,33 @@ class MultimodalSpec extends AnyFunSuite {
       out2.map(f => (f.doc_id, f.width, f.features.toSeq)).toSet)
   }
 
+  test("real PNG codec: encode→decode roundtrip recovers dims and exact channel means") {
+    // a known synthetic PNG decodes to the encoded pixels (not a stub)
+    val k = 123L
+    val (w, h) = Multimodal.synthDims(k)
+    val (dw, dh, feats) = Multimodal.decodeImage(Multimodal.encodePng(k))
+    assert((dw, dh) == (w, h))
+    var sr = 0L
+    for (y <- 0 until h; x <- 0 until w) sr += Multimodal.synthPixel(k, x, y, 0)
+    assert(feats(0) == (sr.toDouble / (w * h) / 255.0).toFloat)
+    assert(feats(3) == w.toFloat / 1024f && feats(4) == h.toFloat / 1024f)
+
+    // resize re-encodes a real PNG with the requested dims
+    val resized = Multimodal.decodeImage(Multimodal.resizeImage(Multimodal.encodePng(k), 8, 6))
+    assert((resized._1, resized._2) == (8, 6))
+
+    // frame container: 5 frames in, 3 evenly spaced out (0, 2, 4)
+    import spark.implicits._
+    val media = Multimodal.videosFromDocs(spark,
+      spark.range(0, 4).select(org.apache.spark.sql.functions.col("id").as("doc_id")))
+    val frames = Multimodal.sampleFrames(media, n = 3).collect()
+    assert(frames.length == 12 && frames.map(_.frame_idx).distinct.sorted.sameElements(Array(0, 1, 2)))
+    // frame 1 samples source frame 2: its red mean differs from frame 0's
+    val f0 = frames.find(f => f.doc_id == 1 && f.frame_idx == 0).get
+    val f1 = frames.find(f => f.doc_id == 1 && f.frame_idx == 1).get
+    assert(f0.features(0) != f1.features(0))
+  }
+
   test("SQL function registration: cell functions + tile_windows usable from SQL") {
     val s = spark
     graft.functions.CellFunctions.register(s)

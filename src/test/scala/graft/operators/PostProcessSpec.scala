@@ -84,6 +84,25 @@ class PostProcessSpec extends AnyFunSuite {
       Geom.fromWkb(r.getAs[Array[Byte]]("geom")).getNumPoints > 50))
   }
 
+  test("spatial filter halo strips: shuffle volume is tiles + halos (~1× raster), not 9×") {
+    val W = Fixtures.LuxWidth; val H = Fixtures.LuxHeight
+    val tiles = Fixtures.luxTiles(spark, mode = "exact").collect()
+    val r = 2 // ksize 5
+    val shipped = tiles.map { t =>
+      (for (di <- -1 to 1; dj <- -1 to 1; if t.i + di >= 0 && t.j + dj >= 0)
+        yield PostProcess.haloFragment(t, di, dj, r)
+          .map(f => f.width.toLong * f.height).getOrElse(0L)).sum
+    }.sum
+    val raster = W.toLong * H
+    assert(shipped <= (raster * 1.1).toLong,
+      s"halo shuffle volume $shipped px vs raster $raster px (>1.1×)")
+    // fragments reconstruct exactly the r-halo neighborhoods: spot-check one
+    val t = tiles.find(x => x.i == 0 && x.j == 0).get
+    val right = PostProcess.haloFragment(t, 0, 1, r).get
+    assert(right.width == r && right.height == t.height &&
+      right.col_off == t.col_off + t.width - r)
+  }
+
   test("spatial filter: distributed halo-exchange blur equals single-raster blur (spatial_filter.py)") {
     val W = Fixtures.LuxWidth; val H = Fixtures.LuxHeight
     // single-raster reference result, band 1

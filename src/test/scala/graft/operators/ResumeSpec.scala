@@ -70,6 +70,31 @@ class ResumeSpec extends AnyFunSuite {
     assert(table.metrics().count() == 1)
   }
 
+  test("torn commit: orphan data + manifest rows stay invisible; retry never reuses the id") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-torn").toString
+    val table = new IcebergLite(tmp, spark)
+    val batch = (0 until 10).map(k => (k.toLong, s"row$k")).toDF("id", "payload")
+
+    // writer 1 crashes after writing data+manifest but before VERSION move
+    table.commit(Some((batch, "rows")), batch.select(col("id").cast("string").as("part_key")),
+      "ingest", abortBeforeVersionMove = true)
+    assert(table.currentSnapshot() == 0, "torn commit must not advance VERSION")
+    assert(table.readData("rows").count() == 0, "orphan data files must be invisible")
+    assert(table.manifests().count() == 0, "orphan manifest rows must be invisible")
+    assert(table.pendingWork(batch.select(col("id").cast("string").as("part_key")),
+      "part_key").count() == 10, "resume must recompute everything after a torn commit")
+
+    // the retry commits under a FRESH id (2, not 1) — the orphan id is burned,
+    // so its files can never become visible retroactively
+    val snap = table.commit(Some((batch, "rows")),
+      batch.select(col("id").cast("string").as("part_key")), "ingest")
+    assert(snap == 2)
+    assert(table.currentSnapshot() == 2)
+    assert(table.readData("rows").count() == 10, "exactly-once: no duplicates from the orphan")
+    assert(table.manifests().count() == 10)
+  }
+
   test("pages written Iceberg-style and read back preserve the text invariant") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-pages").toString
@@ -78,7 +103,7 @@ class ResumeSpec extends AnyFunSuite {
     // partition the data files by lang (a stand-in for cell_prefix/days at scale)
     table.commit(Some((pages.toDF(), "pages")),
       pages.select(col("lang").as("part_key")).distinct().toDF(), "pages-ingest")
-    val back = spark.read.parquet(s"$tmp/data/pages")
+    val back = table.readData("pages")
     assert(back.count() == 1000)
     val bad = back.as[graft.sources.Model.Page]
       .map(p => Fixtures.extractText(p.html) == p.text).filter(x => !x).count()

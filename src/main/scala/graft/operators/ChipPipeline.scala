@@ -174,11 +174,40 @@ object ChipPipeline {
           maskBands.forall(_.forall(band => band == null || band.forall(_ == 0)))
         if (allEmpty) Iterator.empty
         else {
+          // ---- write-side payload semantics (S6/F2) ----------------------
+          val (outU8, outF32) = chipType match {
+            case "jpg" =>
+              // write_image (chips.py:316-322): first 3 bands dstacked to
+              // uint8 (float → C-cast truncate-mod-256), plus a SECOND
+              // low-contrast test on the uint8 RGB; a skipped jpg is not
+              // written but the chip still footprints (chips.py:269-287
+              // appends to `chips` before the write call)
+              val rgb: Array[Array[Byte]] =
+                if (imgU8 != null) imgU8.take(3)
+                else imgF32.take(3).map(_.map(v => (v.toInt & 0xff).toByte))
+              val skipJpg = skipLow && RasterMath.isLowContrast(
+                rgb.flatten.map(b => (b & 0xff).toFloat), isByteData = true)
+              (if (skipJpg) Array.empty[Array[Byte]] else rgb, null)
+            case _ =>
+              // write_tif double-permute quirk (F2, chips.py:337): the
+              // already-subset array is re-indexed by `bands` AGAIN, so
+              // non-monotone bands double-permute (identity for ascending
+              // 1..n) and bands beyond the subset length raise (Python
+              // IndexError parity)
+              def permute[T: scala.reflect.ClassTag](a: Array[Array[T]]): Array[Array[T]] =
+                bands.map { b =>
+                  require(b - 1 < a.length, s"write_tif re-index: band $b out of " +
+                    s"range of the ${a.length}-band subset (reference chips.py:337 quirk)")
+                  a(b - 1)
+                }.toArray
+              (if (imgU8 != null) permute(imgU8) else null,
+                if (imgF32 != null) permute(imgF32) else null)
+          }
           val (bMinx, bMiny, bMaxx, bMaxy) = win.bounds(affine)
           Iterator.single(ChipRow(t.raster_id, t.i, t.j, t.col_off, t.row_off,
             t.width, t.height, bMinx, bMiny, bMaxx, bMaxy,
             s"${basename}_${t.i}_${t.j}.$chipType",
-            imgU8, imgF32, kindsOrdered,
+            outU8, outF32, kindsOrdered,
             maskBands.map(cb => cb.map(b => if (b == null) Array.empty[Byte] else b))))
         }
       }

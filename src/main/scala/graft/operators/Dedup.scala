@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.{Window => WExpr}
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family for the training-data pipeline: exact, MinHash+LSH,
@@ -46,11 +45,17 @@ object Dedup {
     * pair set, and within-group pairs are emitted directly (score = exact
     * match) by the callers. */
   private def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tagged = docs.select(col("doc_id"), col("text"))
-      .withColumn("rep", min("doc_id").over(WExpr.partitionBy(md5(col("text")))))
+    // groupBy(text) instead of a window over md5(text): partial aggregation
+    // combines duplicates map-side (on a dup-heavy corpus the shuffle
+    // carries each distinct text ~once) and needs no sort
+    val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    (tagged.where(col("doc_id") === col("rep")).select("doc_id", "text"),
-      tagged.select("doc_id", "rep"))
+    val members = docs.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(reps.select(md5(col("text")).as("th"), col("doc_id").as("rep")), Seq("th"))
+      .select("doc_id", "rep")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    (reps, members)
   }
 
   /** Expand representative-level pairs back to all member pairs, preserving

@@ -39,6 +39,57 @@ class ChipOptionsSpec extends AnyFunSuite {
     assert(RasterMath.isLowContrast(Array.fill(100)(40f), isByteData = true))
   }
 
+  test("F2 quirk: write_tif double-permutes non-monotone bands (chips.py:337)") {
+    // bands [2,1]: subset = [o2,o1]; write re-index [subset[1],subset[0]]
+    // = [o1,o2] — the latent reference bug nets out to written order [1,2]
+    val quirk = extractChips(spark, Fixtures.luxTiles(spark), Fixtures.luxMeta(),
+      cfg = ChipConfig(bands = Some(Seq(2, 1)))).collect()
+    val straight = extractChips(spark, Fixtures.luxTiles(spark), Fixtures.luxMeta(),
+      cfg = ChipConfig(bands = Some(Seq(1, 2)))).collect()
+    val qm = quirk.map(c => (c.i, c.j) -> c.img_f32).toMap
+    straight.foreach { c =>
+      assert(qm((c.i, c.j))(0).sameElements(c.img_f32(0)))
+      assert(qm((c.i, c.j))(1).sameElements(c.img_f32(1)))
+    }
+    // ascending 1..n stays the identity (oracle-pinned path)
+    assert(straight.head.img_f32.length == 2)
+    // bands beyond the subset length raise like Python's IndexError
+    assertThrows[org.apache.spark.SparkException] {
+      extractChips(spark, Fixtures.luxTiles(spark), Fixtures.luxMeta(),
+        cfg = ChipConfig(bands = Some(Seq(1, 4)))).collect()
+    }
+  }
+
+  test("S6 jpg sink: first-3-band uint8 dstack payload + write-side low-contrast skip") {
+    // jpg chips carry a 3-band uint8 payload (write_image chips.py:316-322)
+    val jpg = extractChips(spark, Fixtures.luxTiles(spark), Fixtures.luxMeta(),
+      cfg = ChipConfig(chipType = "jpg", rescaleMode = Some("values"),
+        rescaleRange = (0.0, 0.3))).collect()
+    assert(jpg.forall(c => c.img_u8.length == 3 && c.img_f32 == null))
+    assert(jpg.forall(_.filename.endsWith(".jpg")))
+    // near-constant raster + skip flag: payload skipped on write, but the
+    // chip row (and so its footprint) still exists — reference appends to
+    // `chips` before write_image can return False
+    val flat = extractChips(spark, Fixtures.probChips(spark),
+      Fixtures.luxMeta(id = "prob").copy(bands = 1),
+      cfg = ChipConfig(bands = Some(Seq(1)), chipType = "jpg",
+        skipLowContrast = true)).collect()
+    // zero-valued chips were dropped by the FIRST contrast check already;
+    // kept blob chips have contrast on uint8 too → payload present
+    assert(flat.forall(c => c.img_u8.nonEmpty))
+    // a uint8-flat but float-contrasty chip: values {0, 0.4} pass the float
+    // check (0.4/2.0=0.2) but truncate to uint8 {0,0} → jpg write skipped
+    import spark.implicits._
+    val t = Fixtures.probChips(spark).map { t =>
+      t.copy(pixels = t.pixels.map(_.map(v => if (v != 0f) 0.4f else 0f)))
+    }
+    val rows = extractChips(spark, t, Fixtures.luxMeta(id = "prob").copy(bands = 1),
+      cfg = ChipConfig(bands = Some(Seq(1)), chipType = "jpg",
+        skipLowContrast = true)).collect()
+    assert(rows.nonEmpty && rows.forall(_.img_u8.isEmpty),
+      "write-side uint8 contrast check must skip the payload but keep the row")
+  }
+
   test("extent no-border (M6): boundary pixels removed from the extent mask") {
     val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
     def masks(noBorder: Boolean) = {

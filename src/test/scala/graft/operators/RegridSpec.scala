@@ -26,4 +26,25 @@ class RegridSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("general regrid: exact/128 source → every target grid equals direct generation") {
+    val src = Fixtures.luxTiles(spark, mode = "exact") // 128 exact
+    for ((size, step, mode) <- Seq((128, 64, "whole_overlap"), (64, 64, "exact"),
+                                   (128, 128, "whole_overlap"), (100, 50, "whole"))) {
+      val got = Regrid.regrid(spark, src, Fixtures.LuxWidth, Fixtures.LuxHeight,
+          size, step, mode)
+        .collect().map(t => (t.i, t.j) -> t).toMap
+      val want = Fixtures.luxTiles(spark, size, step, mode)
+        .collect().map(t => (t.i, t.j) -> t).toMap
+      assert(got.keySet == want.keySet, s"grid keys for ($size,$step,$mode)")
+      got.foreach { case (k, g) =>
+        val w = want(k)
+        assert(g.col_off == w.col_off && g.row_off == w.row_off &&
+          g.width == w.width && g.height == w.height, s"window at $k ($size,$step,$mode)")
+        g.pixels.zip(w.pixels).foreach { case (gb, wb) =>
+          assert(gb.sameElements(wb), s"pixels at $k ($size,$step,$mode)")
+        }
+      }
+    }
+  }
 }

@@ -17,7 +17,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=0 turns adaptive re-planning off for scaling runs:
+      // the flagship's reduce stages are tiny and AQE's per-stage re-plan is
+      // pure driver-side fixed cost that anti-scales the 4N level
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.get("SPARK_GRAFT_AQE").contains("0")).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -41,22 +45,26 @@ object Bench {
     val pages = spark.read.parquet(pagesDir).as[sources.Model.Page](
       org.apache.spark.sql.Encoders.product[sources.Model.Page])
 
-    // warm up untimed with the full pipeline on the real table: populates
-    // the OS page cache and compiles the codegen — the timed run then
-    // measures engine compute, which is what the N-vs-4N scaling
-    // efficiency target is about
-    operators.PagesTiling.extractChips(spark, pages,
+    // NOTE: each timed run builds a FRESH DataFrame — re-executing one plan
+    // object would reuse ShuffleExchangeExec's cached shuffle RDD (skipped
+    // map stages) and measure nothing. Codegen compilation is cached by
+    // source text, so the warm-up covers it; with AQE off the remaining
+    // per-run driver overhead is analysis+optimization (~0.2 s).
+    def flagshipAgg() = operators.PagesTiling.extractChips(spark, pages,
       sources.Fixtures.luxMeta(), labels = Some(labels))
-      .agg(sum("n_pages")).head()
+      .agg(sum("n_pages"), count(lit(1)), sum("bad_text"))
+
+    // warm up untimed: populates the OS page cache and compiles the codegen
+    // — the timed run then measures engine compute, which is what the
+    // N-vs-4N scaling efficiency target is about
+    flagshipAgg().head()
 
     // best-of-3: single-JVM local mode has high GC/JIT variance; the metric
     // targets steady-state engine throughput
     var agg: org.apache.spark.sql.Row = null
     val runs = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      val chips = operators.PagesTiling.extractChips(spark, pages,
-        sources.Fixtures.luxMeta(), labels = Some(labels))
-      agg = chips.agg(sum("n_pages"), count(lit(1)), sum("bad_text")).head()
+      agg = flagshipAgg().head()
       (System.nanoTime() - t0) / 1e9
     }
     val flagshipSec = runs.min

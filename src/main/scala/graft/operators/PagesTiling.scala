@@ -35,19 +35,17 @@ object PagesTiling {
                           salt: Int = 1)
 
   /** Pages with extracted geotag + cell id. `text_ok` carries the
-    * byte-identical extracted-text-per-url invariant. */
+    * byte-identical extracted-text-per-url invariant. The extraction is a
+    * native codegen Expression over the raw html bytes + the text column's
+    * UTF8String ([[graft.functions.GeoTagExtract]]) — no String decode, no
+    * UDF converter boxing; nondeterministic-marked so Catalyst evaluates it
+    * exactly once per row. */
   def geotagged(spark: SparkSession, pages: Dataset[Page], res: Int): DataFrame = {
-    import spark.implicits._
-    // asNondeterministic: stops Catalyst from duplicating the (expensive,
-    // html-decoding) extractor into inferred isnotnull pre-filters — the
-    // plan then evaluates it exactly once per row
-    val extract = udf { (html: Array[Byte], text: String) =>
-      Fixtures.extractGeoAndCheck(html, text)
-    }.asNondeterministic()
     pages.toDF()
-      .withColumn("geo", extract(col("html"), col("text")))
+      .withColumn("geo", graft.functions.GeoTagOps.geo_tag_extract(col("html"), col("text")))
       .select(col("url"), col("warc_ts"), col("lang"),
-        col("geo._1").as("lat"), col("geo._2").as("lon"), col("geo._3").as("text_ok"))
+        col("geo.lat").as("lat"), col("geo.lon").as("lon"),
+        col("geo.text_ok").as("text_ok"))
       .withColumn("cell", CellFunctions.cell_id(col("lat"), col("lon"), lit(res)))
   }
 

@@ -238,24 +238,50 @@ object Fixtures {
     * flagship runs this 10^12 times; a full decode per page is pure GC
     * pressure). Non-ASCII text falls back to a real decode for correctness. */
   def extractGeoAndCheck(html: Array[Byte], text: String): (Double, Double, Boolean) = {
-    val a = indexOfBytes(html, GeoTagBytes, 0)
-    val (lat, lon) =
-      if (a < 0) (Double.NaN, Double.NaN)
-      else {
-        val vStart = a + GeoTagBytes.length
-        val semi = indexOfByte(html, ';', vStart)
-        val quote = if (semi < 0) -1 else indexOfByte(html, '"', semi + 1)
-        // malformed tag value (no ';' / no closing quote / non-numeric) is
-        // routine in crawl data: degrade to NaN exactly like a missing tag —
-        // the downstream point-in-window refine discards NaN rows
-        if (semi < 0 || quote < 0) (Double.NaN, Double.NaN)
-        else try (asciiToDouble(html, vStart, semi), asciiToDouble(html, semi + 1, quote))
-        catch { case _: NumberFormatException => (Double.NaN, Double.NaN) }
-      }
+    val (lat, lon) = parseGeoTag(html)
     val p0 = indexOfBytes(html, POpenBytes, 0)
     val p1 = if (p0 < 0) -1 else indexOfBytes(html, PCloseBytes, p0 + 3)
     val ok = p0 >= 0 && p1 >= 0 && regionEqualsUtf8(html, p0 + 3, p1, text)
     (lat, lon, ok)
+  }
+
+  /** Zero-String-materialization variant over Catalyst's UTF8String — the
+    * flagship's codegen path ([[graft.functions.GeoTagExtract]]). The text
+    * invariant compares html bytes to the text's UTF-8 bytes directly
+    * (byte equality ⇔ string equality for valid UTF-8), so per-page heap
+    * traffic is just the input array — at 32 cores the pipeline is
+    * allocation-rate bound, not CPU bound. */
+  def extractGeoAndCheckU8(html: Array[Byte],
+                           text: org.apache.spark.unsafe.types.UTF8String): (Double, Double, Boolean) = {
+    val (lat, lon) = parseGeoTag(html)
+    val p0 = indexOfBytes(html, POpenBytes, 0)
+    val p1 = if (p0 < 0) -1 else indexOfBytes(html, PCloseBytes, p0 + 3)
+    val ok = p0 >= 0 && p1 >= 0 && {
+      val n = p1 - (p0 + 3)
+      text.numBytes == n && {
+        var i = 0
+        var eq = true
+        while (eq && i < n) { eq = text.getByte(i) == html(p0 + 3 + i); i += 1 }
+        eq
+      }
+    }
+    (lat, lon, ok)
+  }
+
+  private def parseGeoTag(html: Array[Byte]): (Double, Double) = {
+    val a = indexOfBytes(html, GeoTagBytes, 0)
+    if (a < 0) (Double.NaN, Double.NaN)
+    else {
+      val vStart = a + GeoTagBytes.length
+      val semi = indexOfByte(html, ';', vStart)
+      val quote = if (semi < 0) -1 else indexOfByte(html, '"', semi + 1)
+      // malformed tag value (no ';' / no closing quote / non-numeric) is
+      // routine in crawl data: degrade to NaN exactly like a missing tag —
+      // the downstream point-in-window refine discards NaN rows
+      if (semi < 0 || quote < 0) (Double.NaN, Double.NaN)
+      else try (asciiToDouble(html, vStart, semi), asciiToDouble(html, semi + 1, quote))
+      catch { case _: NumberFormatException => (Double.NaN, Double.NaN) }
+    }
   }
 
   private val GeoTagBytes = "name=\"geo.position\" content=\"".getBytes

@@ -14,6 +14,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle accounting: the north-rule scaling argument rests on the
+    // flagship's shuffle volume being bounded (pre-combined two-level agg,
+    // broadcast tile cover) — report it so the claim is measured, not said
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,12 +70,16 @@ object Bench {
 
     // best-of-3: single-JVM local mode has high GC/JIT variance; the metric
     // targets steady-state engine throughput
+    spark.sparkContext.addSparkListener(listener)
+    shuffleWrite.set(0L)
     var agg: org.apache.spark.sql.Row = null
     val runs = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       agg = flagshipAgg().head()
       (System.nanoTime() - t0) / 1e9
     }
+    spark.sparkContext.removeSparkListener(listener)
+    val shuffleMb = shuffleWrite.get() / 3.0 / 1048576.0 // per timed run
     val flagshipSec = runs.min
     val tilesAssigned = agg.getLong(0)
     val nChips = agg.getLong(1)
@@ -91,7 +104,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = flagshipSec + results.map(_._2).sum
     println(
-      f"""{"metric":"tiles+chips emitted per second","value":$throughput%.1f,"unit":"tiles+chips/sec","flagship_sec":$flagshipSec%.3f,"flagship_pages":$nPages,"tiles_assigned":$tilesAssigned,"chips":$nChips,"bad_text":$badText,"parallelism":$cpus,"total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"tiles+chips emitted per second","value":$throughput%.1f,"unit":"tiles+chips/sec","flagship_sec":$flagshipSec%.3f,"flagship_pages":$nPages,"tiles_assigned":$tilesAssigned,"chips":$nChips,"bad_text":$badText,"parallelism":$cpus,"shuffle_write_mb":$shuffleMb%.1f,"total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

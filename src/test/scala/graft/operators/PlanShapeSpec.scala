@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.QueryCatalog
+import graft.sources.Fixtures
+
+/** Physical-plan shape regression tests: the scale-critical queries must
+  * keep their hash/broadcast EQUI-join + partial-aggregation shapes — a
+  * silent fallback to a nested-loop join or a missing map-side combine is
+  * a 100-TB regression even when small-SF results stay correct. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryCatalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dedup_embedding: sign-LSH equi-join, never an all-pairs nested loop") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("smooth_stitch: arithmetic window keys -> hash equi-join on (oi, oj)") {
+    val p = plan("smooth_stitch")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("ann_ivf / ann_topk: bucketed probe stays a hash join") {
+    for (q <- Seq("ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("spatial_join_tiles: cell equi-join with broadcast tile cover") {
+    val p = plan("spatial_join_tiles")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("NestedLoop"))
+  }
+
+  test("flagship: broadcast cell join + two-level (partial) aggregation + column pruning") {
+    val labels = Fixtures.labelGeoms().map { case (g, c) => (graft.core.Geom.toWkb(g), c) }
+    val df = PagesTiling.extractChips(spark, Fixtures.pages(spark, 1000),
+      Fixtures.luxMeta(), labels = Some(labels))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "cell join must broadcast the tile cover")
+    // two-level density agg: a partial HashAggregate must exist below the
+    // exchange (map-side combine bounds shuffle rows at 16k/tile)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregation expected")
+    assert(!p.contains("NestedLoop"))
+  }
+
+  test("q1_agg scan prunes to the aggregated columns only") {
+    val p = QueryCatalog.queries("q1_agg")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
+      readSchema)
+  }
+}

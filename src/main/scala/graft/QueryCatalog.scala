@@ -280,6 +280,13 @@ object QueryCatalog {
 
     // ---- streaming (Structured Streaming over the events table) -----------
     "streaming_counts" -> ((s, dir) => Streaming.eventCounts(s, dir)),
+    // stateful streaming dedup (flatMapGroupsWithState): one AvailableNow
+    // batch over the documents file reproduces batch exact-dedup keepers
+    "streaming_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      Streaming.dedupStream(s, dir, s"$tmp/ckpt", s"$tmp/out")
+      s.read.parquet(s"$tmp/out")
+    }),
 
     // ---- satproc raster/vector ops (non-SQL; rows-only gate + ScalaTest
     //      goldens). Deterministic fixture inputs.
@@ -850,6 +857,9 @@ object QueryCatalog {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | CAST(FLOOR(sum(value)*1000000.0) AS BIGINT) AS sum_value_fp
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "streaming_dedup" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id FROM documents GROUP BY 1",
 
     "filter_chips" ->
       s"""WITH grid AS ($sqlTileGrid),

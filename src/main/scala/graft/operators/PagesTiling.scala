@@ -188,8 +188,26 @@ object PagesTiling {
         .withColumn("input_snapshot", lit(inputSnapshot))
         .withColumn("cell_res", lit(cfg.cellRes))
       table.appendLineage(lineage)
-      table.appendMetrics(Seq((jobId, "chips", n,
-        System.currentTimeMillis() - t0)).toDF("job_id", "stage", "rows_out", "wall_ms"))
+      // metrics (SURVEY §7.4 north-rule field list): per-partition detail
+      // rows (partition, rows_in = pages binned into the partition's tiles,
+      // rows_out = tiles, checksum over tile keys, skew salt) + one summary
+      // row (partition = -1, stage "chips") — single schema for the
+      // append-only side-table
+      val wall = System.currentTimeMillis() - t0
+      val detail = pending
+        .withColumn("partition", spark_partition_id())
+        .groupBy("partition")
+        .agg(sum(c("n_pages")).as("rows_in"), count(lit(1)).as("rows_out"),
+          sum(hash(c("tile_key")).cast("long")).as("checksum"))
+      val summary = detail.agg(lit(-1).as("partition"),
+        sum(c("rows_in")).as("rows_in"), sum(c("rows_out")).as("rows_out"),
+        sum(c("checksum")).as("checksum"))
+      table.appendMetrics(
+        detail.withColumn("stage", lit("chips.partitions"))
+          .unionByName(summary.withColumn("stage", lit("chips")))
+          .withColumn("job_id", lit(jobId))
+          .withColumn("wall_ms", lit(wall))
+          .withColumn("skew_salt", lit(cfg.salt)))
     }
     pending.unpersist()
     n

@@ -63,4 +63,41 @@ object Streaming {
     // sum numRowsDroppedByWatermark over the run's progress updates
     q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
   }
+
+  /** Streaming exact dedup with CUSTOM state (flatMapGroupsWithState —
+    * the §2.9 stateful-operator surface): content-hash keyed; the first
+    * micro-batch that sees a hash emits (hash, min doc_id in that batch)
+    * and pins the state; later arrivals of the same content are dropped.
+    * On a single-batch run (AvailableNow over one file) the output equals
+    * batch [[Dedup.exact]]'s keeper set exactly; across batches the
+    * keeper is first-win (streaming append cannot retract), which is the
+    * standard streaming-dedup contract. State is checkpointed: a restart
+    * emits nothing new. */
+  def dedupStream(spark: SparkSession, sfDir: String,
+                  checkpoint: String, sinkDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val out = stream.select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keeper = rows.map(_._2).min
+            state.update(keeper)
+            Iterator.single((hash, keeper))
+          }
+      }
+      .toDF("text_hash", "keeper_id")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", sinkDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 }

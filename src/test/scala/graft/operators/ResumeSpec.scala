@@ -70,6 +70,22 @@ class ResumeSpec extends AnyFunSuite {
     assert(table.metrics().count() == 1)
   }
 
+  test("streaming dedup (flatMapGroupsWithState): single-batch run equals batch exact dedup; restart emits nothing") {
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val sfDir = "/root/testdata/sf0.001"
+    Streaming.dedupStream(spark, sfDir, s"$tmp/ckpt", s"$tmp/out")
+    val got = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = graft.operators.Dedup.exact(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select("text_hash", "keeper_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "one AvailableNow batch must reproduce batch dedup keepers")
+    // restart on the same checkpoint: state says every hash was emitted
+    Streaming.dedupStream(spark, sfDir, s"$tmp/ckpt", s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out").count() == want.size)
+  }
+
   test("torn commit: orphan data + manifest rows stay invisible; retry never reuses the id") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-torn").toString

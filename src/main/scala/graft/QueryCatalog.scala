@@ -359,6 +359,23 @@ object QueryCatalog {
       geomStats(s, PostProcess.generalize(polys, "epsg:4326", Some("epsg:3857"),
         douglasTolerance = 0.1, chaikin = true))
     }),
+    // DP-only variant with a DuckDB oracle: the simplified blobs stay
+    // axis-aligned in 3857 (Mercator preserves axis alignment), so the
+    // envelope equals the Mercator images of the analytic 4326 corners —
+    // fp2 (cm) like reproject_3857 because tan/ln differ by ≤1 ulp across
+    // libm builds. Chaikin smoothing stays under generalize_3857's
+    // ScalaTest goldens (not SQL-expressible).
+    "generalize_3857_dp" -> ((s, _) => {
+      import s.implicits._
+      val polys = PostProcess.polygonize(s, Fixtures.probChips(s), Fixtures.LuxAffine)
+      PostProcess.generalize(polys, "epsg:4326", Some("epsg:3857"),
+          douglasTolerance = 0.1, chaikin = false)
+        .select(col("geom").as[Array[Byte]], col("dn").as[Int]).map { case (wkb, dn) =>
+          val e = Geom.fromWkb(wkb).getEnvelopeInternal
+          (dn, math.floor(e.getMinX * 100.0).toLong, math.floor(e.getMinY * 100.0).toLong,
+            math.floor(e.getMaxX * 100.0).toLong, math.floor(e.getMaxY * 100.0).toLong)
+        }.toDF("dn", "minx_fp", "miny_fp", "maxx_fp", "maxy_fp")
+    }),
 
     // ---- M9: spatial filter (halo-exchange convolution) ---------------------
     "spatial_filter_gaussian" -> ((s, _) => {
@@ -808,6 +825,22 @@ object QueryCatalog {
          | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
          | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename
          |FROM kept""".stripMargin,
+
+    "generalize_3857_dp" -> {
+      def mx(lon: String) = s"CAST(FLOOR(radians($lon) * 6378137.0 * 100.0) AS BIGINT)"
+      def my(lat: String) = s"CAST(FLOOR(ln(tan(${math.Pi / 4.0} + radians($lat) / 2.0)) * 6378137.0 * 100.0) AS BIGINT)"
+      s"""SELECT 255 AS dn,
+         | ${mx(s"($C + 100 * $A)")} AS minx_fp,
+         | ${my(s"($F + 60 * ($E))")} AS miny_fp,
+         | ${mx(s"(($C + 128 * $A) + 32 * $A)")} AS maxx_fp,
+         | ${my(s"($F + 20 * ($E))")} AS maxy_fp
+         |UNION ALL
+         |SELECT 255,
+         | ${mx(s"(($C + 256 * $A) + 44 * $A)")},
+         | ${my(s"(($F + 88 * ($E)) + 112 * ($E))")},
+         | ${mx(s"(($C + 355 * $A) + 45 * $A)")},
+         | ${my(s"(($F + 88 * ($E)) + 62 * ($E))")}""".stripMargin
+    },
 
     "multimodal_features" -> OracleSql.multimodalFeatures,
 

@@ -45,11 +45,17 @@ object Bench {
     }
 
     // materialize the pages table once (shared across parallelism levels so
-    // both scaling runs read identical input files)
-    val pagesDir = s"/tmp/graft_pages_$nPages"
+    // both scaling runs read identical input files). SPARK_GRAFT_CODEC=zstd
+    // stores the scan-heavy table ~2× smaller: on a single box the disk
+    // floor is the one non-scaling resource, and trading it for
+    // decompression CPU (which parallelizes) is the right call for a table
+    // that is always scanned in full — same choice a real deployment makes
+    val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy")
+    val pagesDir = s"/tmp/graft_pages_$nPages" +
+      (if (codec != "snappy") s"_$codec" else "")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesDir, "_SUCCESS"))) {
       sources.Fixtures.pages(spark, nPages, partitions = 64)
-        .write.mode("overwrite").parquet(pagesDir)
+        .write.mode("overwrite").option("compression", codec).parquet(pagesDir)
     }
     val pages = spark.read.parquet(pagesDir).as[sources.Model.Page](
       org.apache.spark.sql.Encoders.product[sources.Model.Page])

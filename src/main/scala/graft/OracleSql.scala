@@ -134,6 +134,105 @@ object OracleSql {
   }
 
   // ---------------------------------------------------------------------
+  // boundary (Bresenham) + distance (chamfer layer) masks — make_masks_all
+  // ---------------------------------------------------------------------
+
+  /** Full make_masks_all oracle: per-chip nonzero counts for all three mask
+    * kinds, re-derived independently (reference: satproc/masks.py:204-232):
+    *
+    *  - '''extent''': the GDAL scanline fill of [[extentCountCte]];
+    *  - '''boundary''': `Rasterize.drawLine`'s integer Bresenham replayed
+    *    exactly by a recursive CTE over the per-chip FLOOR'd segment
+    *    endpoints (same `Affine.forWindow`+`invert` expression tree as
+    *    `ledges`), pixels clipped to the window and deduplicated;
+    *  - '''distance''': `cv2.distanceTransform(DIST_L2, 3)` runs on the
+    *    extent-minus-boundary grid with increments a=0.955 / b=1.3693 and
+    *    uint8 truncation, so trunc(d) ≥ 1 ⟺ d ≥ 1 ⟺ the pixel has NO
+    *    in-chip 4-adjacent zero (the only d < 1 value is a single straight
+    *    step a = 0.955; the cheapest alternative, one diagonal b = 1.3693,
+    *    already truncates to 1).  n_nonzero is therefore purely discrete —
+    *    no float accumulation enters the oracle.  (Values stay < 256 on the
+    *    fixture, so the uint8 wrap of `.toInt.toByte` never zeroes a pixel.)
+    *
+    * Chips kept mirror the F5 empty-mask skip: any of the three masks
+    * nonzero (distance ⊆ extent, so extent-or-boundary decides). */
+  def maskAll(polys: Seq[Seq[(Double, Double)]]): String = {
+    val det = s"($A * $E)"
+    val bedges = polys.zipWithIndex.flatMap { case (ring, pid) =>
+      (ring :+ ring.head).sliding(2).zipWithIndex.map {
+        case (Seq((x0, y0), (x1, y1)), k) => s"(${pid * 100 + k}, $x0, $y0, $x1, $y1)"
+      }
+    }.mkString(", ")
+    s"""WITH RECURSIVE grid AS (SELECT * FROM ${gridValues(128, 128, "whole_overlap")}),
+       |${extentCountCte(polys)},
+       |ext AS (
+       | SELECT DISTINCT s.i, s.j, r.x AS x, s.row_ AS y
+       | FROM spans s, range(0, 128) r(x)
+       | WHERE r.x >= GREATEST(CAST(CEIL(s.xa - 0.5) AS BIGINT), 0)
+       |  AND r.x < LEAST(CAST(CEIL(s.xb - 0.5) AS BIGINT), s.w)),
+       |bedges(eid, wx0, wy0, wx1, wy1) AS (VALUES $bedges),
+       |binit AS (
+       | SELECT g.i, g.j, g.win_width AS w, g.win_height AS h, e.eid,
+       |  CAST(FLOOR(($E * (e.wx0 - ($C + g.col_off * $A))) / $det) AS INT) AS x,
+       |  CAST(FLOOR(($A * (e.wy0 - ($F + g.row_off * $E))) / $det) AS INT) AS y,
+       |  CAST(FLOOR(($E * (e.wx1 - ($C + g.col_off * $A))) / $det) AS INT) AS x1,
+       |  CAST(FLOOR(($A * (e.wy1 - ($F + g.row_off * $E))) / $det) AS INT) AS y1
+       | FROM grid g, bedges e),
+       |bres AS (
+       | SELECT i, j, w, h, eid, x, y, x1, y1,
+       |  ABS(x1 - x) AS dx, -ABS(y1 - y) AS dy,
+       |  CASE WHEN x < x1 THEN 1 ELSE -1 END AS sx,
+       |  CASE WHEN y < y1 THEN 1 ELSE -1 END AS sy,
+       |  ABS(x1 - x) - ABS(y1 - y) AS err
+       | FROM binit
+       | UNION ALL
+       | SELECT i, j, w, h, eid,
+       |  x + CASE WHEN 2 * err >= dy THEN sx ELSE 0 END,
+       |  y + CASE WHEN 2 * err <= dx THEN sy ELSE 0 END,
+       |  x1, y1, dx, dy, sx, sy,
+       |  err + CASE WHEN 2 * err >= dy THEN dy ELSE 0 END
+       |      + CASE WHEN 2 * err <= dx THEN dx ELSE 0 END
+       | FROM bres WHERE NOT (x = x1 AND y = y1)),
+       |bnd AS (
+       | SELECT DISTINCT i, j, x, y FROM bres
+       | WHERE x >= 0 AND x < w AND y >= 0 AND y < h),
+       |bndcnt AS (SELECT i, j, count(*) AS n_bnd FROM bnd GROUP BY 1, 2),
+       |nb AS (
+       | SELECT e.i, e.j, e.x, e.y
+       | FROM ext e ANTI JOIN bnd b ON b.i = e.i AND b.j = e.j AND b.x = e.x AND b.y = e.y),
+       |nbg AS (
+       | SELECT nb.i, nb.j, nb.x, nb.y, g.win_width AS w, g.win_height AS h
+       | FROM nb JOIN grid g ON g.i = nb.i AND g.j = nb.j),
+       |dcnt AS (
+       | SELECT p.i, p.j, count(*) AS n_dist
+       | FROM nbg p
+       | LEFT JOIN nb nl ON nl.i = p.i AND nl.j = p.j AND nl.x = p.x - 1 AND nl.y = p.y
+       | LEFT JOIN nb nr ON nr.i = p.i AND nr.j = p.j AND nr.x = p.x + 1 AND nr.y = p.y
+       | LEFT JOIN nb nu ON nu.i = p.i AND nu.j = p.j AND nu.x = p.x AND nu.y = p.y - 1
+       | LEFT JOIN nb nd ON nd.i = p.i AND nd.j = p.j AND nd.x = p.x AND nd.y = p.y + 1
+       | WHERE (p.x = 0 OR nl.x IS NOT NULL) AND (p.x = p.w - 1 OR nr.x IS NOT NULL)
+       |  AND (p.y = 0 OR nu.x IS NOT NULL) AND (p.y = p.h - 1 OR nd.x IS NOT NULL)
+       | GROUP BY 1, 2),
+       |kept AS (
+       | -- DISTINCT-over-UNION-ALL, not UNION: under WITH RECURSIVE DuckDB
+       | -- splits a bare UNION body into base/step halves and duplicates
+       | SELECT DISTINCT i, j FROM (
+       |  SELECT i, j FROM extcnt WHERE n_ext > 0
+       |  UNION ALL SELECT i, j FROM bndcnt WHERE n_bnd > 0))
+       |SELECT 'lux1' AS raster_id, CAST(k.i AS INT) AS i, CAST(k.j AS INT) AS j,
+       | kind.kind AS kind, 0 AS class_idx,
+       | CAST(CASE kind.kind
+       |  WHEN 'extent' THEN COALESCE(e.n_ext, 0)
+       |  WHEN 'boundary' THEN COALESCE(b.n_bnd, 0)
+       |  ELSE COALESCE(d.n_dist, 0) END AS BIGINT) AS n_nonzero
+       |FROM kept k
+       |CROSS JOIN (VALUES ('extent'), ('boundary'), ('distance')) kind(kind)
+       |LEFT JOIN extcnt e ON e.i = k.i AND e.j = k.j
+       |LEFT JOIN bndcnt b ON b.i = k.i AND b.j = k.j
+       |LEFT JOIN dcnt d ON d.i = k.i AND d.j = k.j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // grids
   // ---------------------------------------------------------------------
 

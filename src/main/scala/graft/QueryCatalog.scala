@@ -389,9 +389,9 @@ object QueryCatalog {
 
     // ---- S7/M4–M7: whole-raster masks ----------------------------------------
     // `make_masks` gates the extent kind against a DuckDB re-derivation of
-    // the GDAL scanline fill; `make_masks_all` keeps the full
-    // extent/boundary/distance surface (Bresenham + chamfer are pinned by
-    // ScalaTest goldens, not SQL-expressible at parity).
+    // the GDAL scanline fill; `make_masks_all` additionally gates boundary
+    // (Bresenham replayed by a recursive CTE) and distance (the chamfer
+    // uint8-trunc layer is purely discrete — see OracleSql.maskAll).
     "make_masks" -> ((s, _) =>
       maskCounts(s).where(col("kind") === lit("extent"))),
     "make_masks_all" -> ((s, _) => maskCounts(s)),
@@ -663,14 +663,21 @@ object QueryCatalog {
 
     "dedup_minhash_lsh" -> {
       val bandKeys = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh_${2 * b}::VARCHAR || '_' || mh_${2 * b + 1}::VARCHAR) AS band_key FROM m")
+        s"SELECT doc_id, th, $b AS band, md5(mh_${2 * b}::VARCHAR || '_' || mh_${2 * b + 1}::VARCHAR) AS band_key FROM m")
         .mkString(" UNION ALL ")
       s"""WITH ${sqlShingleCte(3)},
-         |m AS (${sqlMinhashFromSh}),
+         |m AS (${sqlMinhashFromShTh}),
          |bands AS ($bandKeys),
+         |hot AS (
+         | SELECT band, band_key FROM (
+         |  SELECT band, band_key, count(DISTINCT th) AS df FROM bands GROUP BY 1, 2)
+         | WHERE df > ${Dedup.BandDfCap}),
+         |blk AS (
+         | SELECT b.doc_id, b.band, b.band_key
+         | FROM bands b ANTI JOIN hot h ON b.band = h.band AND b.band_key = h.band_key),
          |cand AS (
          | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         | FROM bands x JOIN bands y
+         | FROM blk x JOIN blk y
          |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (
@@ -689,9 +696,13 @@ object QueryCatalog {
 
     "dedup_ngram_jaccard" ->
       s"""WITH ${sqlShingleCte(5)},
+         |hot AS (
+         | SELECT sh FROM (SELECT sh, count(DISTINCT th) AS df FROM sh GROUP BY 1)
+         | WHERE df > ${Dedup.ShingleDfCap}),
+         |blk AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
          |cand AS (
          | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         | FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         | FROM blk x JOIN blk y ON x.sh = y.sh AND x.doc_id < y.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (
          | SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -708,21 +719,28 @@ object QueryCatalog {
 
     "dedup_simhash_pairs" ->
       s"""WITH tok AS (
-         | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM tok),
+         | SELECT DISTINCT doc_id, md5(text) AS th, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), h AS (SELECT doc_id, th, ${h60sql("tok")} AS h FROM tok),
          |bits AS (
-         | SELECT doc_id, b.b AS b, SUM(((h >> b.b) & 1) * 2 - 1) AS s
-         | FROM h, range(0, 60) b(b) GROUP BY 1, 2),
+         | SELECT doc_id, th, b.b AS b, SUM(((h >> b.b) & 1) * 2 - 1) AS s
+         | FROM h, range(0, 60) b(b) GROUP BY 1, 2, 3),
          |sig AS (
-         | SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-         | FROM bits GROUP BY 1),
+         | SELECT doc_id, th, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         | FROM bits GROUP BY 1, 2),
          |blocks AS (
-         | SELECT doc_id, simhash, q.q AS q, (simhash >> (q.q * 15)) & 32767 AS qk
+         | SELECT doc_id, th, simhash, q.q AS q, (simhash >> (q.q * 15)) & 32767 AS qk
          | FROM sig, range(0, 4) q(q)),
+         |hot AS (
+         | SELECT q, qk FROM (
+         |  SELECT q, qk, count(DISTINCT th) AS df FROM blocks GROUP BY 1, 2)
+         | WHERE df > ${Dedup.QuarterDfCap}),
+         |blk AS (
+         | SELECT b.doc_id, b.simhash, b.q, b.qk
+         | FROM blocks b ANTI JOIN hot h ON b.q = h.q AND b.qk = h.qk),
          |cand AS (
          | SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
          |   y.doc_id AS doc_b, y.simhash AS sim_b
-         | FROM blocks x JOIN blocks y
+         | FROM blk x JOIN blk y
          |  ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 12""".stripMargin,
@@ -805,6 +823,8 @@ object QueryCatalog {
          |SELECT 'lux1' AS raster_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
          | 'extent' AS kind, 0 AS class_idx, CAST(n_ext AS BIGINT) AS n_nonzero
          |FROM extcnt WHERE n_ext > 0""".stripMargin,
+
+    "make_masks_all" -> OracleSql.maskAll(labelRings),
 
     "extract_chips" ->
       s"""WITH grid AS (SELECT * FROM ${OracleSql.gridValues(128, 128, "whole_overlap")}),
@@ -918,16 +938,26 @@ object QueryCatalog {
   )
 
   /** Shared CTE: distinct word w-shingles per doc (DuckDB side). */
+  // th = md5(text) identifies the distinct text: blocking-key document
+  // frequency is counted over DISTINCT texts (count(DISTINCT th)), exactly
+  // as Dedup.dropHotKeys does, so the hot-key caps compare bit-identically.
   private def sqlShingleCte(w: Int): String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, md5(text) AS th, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
-       | SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i + ${w - 1}], ' ') AS sh
+       | SELECT DISTINCT doc_id, th, array_to_string(toks[i.i:i.i + ${w - 1}], ' ') AS sh
        | FROM t, range(1, 4096) i(i) WHERE i.i < len(toks) - ${w - 2})""".stripMargin
 
   private def sqlMinhashFromSh: String = {
     val mins = (0 until 8).map(i =>
       s"min(${h60sql(s"'$i:' || sh")}) AS mh_$i").mkString(", ")
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+
+  // variant carrying th for the band-key DF cap (th is 1:1 with doc_id)
+  private def sqlMinhashFromShTh: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(${h60sql(s"'$i:' || sh")}) AS mh_$i").mkString(", ")
+    s"SELECT doc_id, th, $mins FROM sh GROUP BY doc_id, th"
   }
 
   private def sqlMinhashSig: String =

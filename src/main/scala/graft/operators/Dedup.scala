@@ -8,8 +8,45 @@ import org.apache.spark.storage.StorageLevel
   * SimHash, n-gram Jaccard, embedding-cosine near-dup. All pure
   * `functions._` relational plans (codegen'd, shuffle only on the group/join
   * keys) — at 100 TB the LSH variants shuffle only (band_key, doc_id) pairs,
-  * never the documents themselves. */
+  * never the documents themselves.
+  *
+  * Two scale guards bound the classic hot-bucket quadratics:
+  *
+  *  1. '''Exact-duplicate collapse''' ([[collapseExact]]) — D identical
+  *     documents in one LSH bucket would contribute D²/2 candidate pairs;
+  *     collapsed to one representative they contribute 0, and the pairs are
+  *     restored exactly afterwards. Collapse costs ~3 extra shuffles, so it
+  *     is engaged '''adaptively''': a one-pass hash-only probe
+  *     ([[dupPairMass]]) measures the exact duplicate-driven candidate mass
+  *     Σ Dᵢ(Dᵢ−1) and collapses only when it exceeds
+  *     `collapseThreshold × N` (default [[CollapsePairsPerDoc]]).  The two
+  *     paths are provably output-identical (signatures, shingles and
+  *     simhashes depend only on the text), which DedupEquivalenceSpec pins.
+  *  2. '''Blocking-key document-frequency cap''' — a blocking key (shingle,
+  *     band signature, simhash quarter) shared by many *distinct* documents
+  *     (boilerplate phrases, templated pages) produces DF²/2 candidates.
+  *     Keys whose DF — counted over distinct texts, so both collapse paths
+  *     agree — exceeds the cap are dropped from candidate generation
+  *     ([[dropHotKeys]]).  This is the standard LSH trade: bounded recall
+  *     loss on boilerplate keys for a hard `DF ≤ cap` bound per key.
+  *     Verification is unaffected (Jaccard / Hamming are still computed on
+  *     the full shingle set / fingerprint), and the DuckDB oracles mirror
+  *     the identical cap. */
 object Dedup {
+
+  /** DF cap for shingle blocking keys (ngram Jaccard candidates). */
+  val ShingleDfCap = 64
+  /** DF cap for MinHash band keys (bands of 2 of 8 minhashes are already
+    * selective; the cap only guards degenerate corpora). */
+  val BandDfCap = 64
+  /** DF cap for simhash 15-bit quarter keys — the least selective blocking
+    * family (similar templated texts cluster on quarters). */
+  val QuarterDfCap = 128
+  /** Collapse probe threshold: collapse exact dups before blocking when the
+    * duplicate-driven candidate mass Σ Dᵢ(Dᵢ−1) exceeds this many pairs per
+    * document — i.e. when dup quadratics would outweigh the ~3 extra
+    * shuffles the collapse costs. */
+  val CollapsePairsPerDoc = 4.0
 
   /** Engine-portable 60-bit hash: md5 → 15 hex chars → bigint. */
   private def h60(c: Column): Column =
@@ -33,17 +70,37 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
 
+  /** Exact duplicate-group profile in ONE hash-only aggregation (the shuffle
+    * carries (md5, partial count) pairs, combined map-side): returns
+    * (Σ Dᵢ(Dᵢ−1) as a double, N).  Σ Dᵢ(Dᵢ−1) is exactly twice the number of
+    * candidate pairs that exact duplicates would inject into any blocking
+    * stage — the quantity the collapse exists to eliminate. */
+  private[operators] def dupPairMass(docs: DataFrame): (Double, Long) = {
+    val r = docs.groupBy(md5(col("text")).as("th"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(sum(col("n") * (col("n") - lit(1.0))).as("mass"),
+        sum(col("n")).as("total"))
+      .head()
+    if (r.isNullAt(0)) (0.0, 0L) else (r.getDouble(0), r.getDouble(1).toLong)
+  }
+
+  /** `threshold < 0` forces collapse, `Double.PositiveInfinity` forbids it
+    * (both used by the equivalence spec); otherwise probe the data. */
+  private def shouldCollapse(docs: DataFrame, threshold: Double): Boolean =
+    if (threshold < 0) true
+    else if (threshold.isPosInfinity) false
+    else { val (mass, n) = dupPairMass(docs); mass > threshold * n }
+
   /** Collapse exact-duplicate texts to one representative (min doc_id)
-    * BEFORE any quadratic blocking stage: D identical docs in one LSH
-    * bucket would otherwise contribute D²/2 candidate pairs — the classic
-    * hot-bucket blowup on a real corpus, where exact duplicates dominate.
-    * Returns (reps, members): `reps` is one (doc_id, text) row per distinct
-    * text; `members` maps every doc_id to its group's representative.
-    * Pair sets are preserved EXACTLY: signatures/shingles/simhashes depend
-    * only on the text, so (mᴬ, mᴮ) is a candidate iff (repᴬ, repᴮ) is, and
-    * the verified score is identical — [[expandPairs]] restores the full
-    * pair set, and within-group pairs are emitted directly (score = exact
-    * match) by the callers. */
+    * BEFORE any quadratic blocking stage. Returns (reps, members): `reps` is
+    * one (doc_id, text) row per distinct text; `members` maps every doc_id
+    * to its group's representative. Pair sets are preserved EXACTLY:
+    * signatures/shingles/simhashes depend only on the text, so (mᴬ, mᴮ) is a
+    * candidate iff (repᴬ, repᴮ) is, and the verified score is identical —
+    * [[expandPairs]] restores the full pair set, and within-group pairs are
+    * emitted directly (score = exact match) by the callers, gated on the
+    * representative surviving blocking (≥1 non-hot key), mirroring the
+    * uncollapsed pipeline. */
   private def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
     // groupBy(text) instead of a window over md5(text): partial aggregation
     // combines duplicates map-side (on a dup-heavy corpus the shuffle
@@ -69,6 +126,39 @@ object Dedup {
       .select(least(col("ma"), col("mb")).as("doc_a") +:
         greatest(col("ma"), col("mb")).as("doc_b") +: payload.map(col): _*)
 
+  /** Distinct shingle rows (doc_id, th, sh); th = md5(text) identifies the
+    * distinct text, so blocking-key DF is counted identically whether the
+    * table was built over all docs or over collapse representatives. */
+  private def shingleTableTh(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("th"),
+        explode(shingles(col("text"), w)).as("sh")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Drop rows whose blocking key is shared by more than `cap` distinct
+    * texts. The hot-key set is tiny by construction (≤ rows/cap keys), so
+    * AQE turns the anti-join into a broadcast at runtime. */
+  private def dropHotKeys(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = rows.groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(col("th")).as("df"))
+      .where(col("df") > cap)
+      .select(keyCols.map(col): _*)
+    rows.join(hot, keyCols, "left_anti")
+  }
+
+  /** Shingle-blocked candidate pairs with the DF cap applied — exposed so
+    * the planted hot-shingle scale test can assert the candidate count is
+    * capped (the blowup is invisible in the verified output). */
+  private[operators] def ngramCandidates(docs: DataFrame, w: Int, dfCap: Int): DataFrame =
+    blockedPairs(dropHotKeys(shingleTableTh(docs, w), Seq("sh"), dfCap), Seq("sh"))
+
+  /** Candidate pairs (doc_a < doc_b) sharing a blocking key. */
+  private def blockedPairs(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val cond = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.doc_id") < col("y.doc_id")
+    rows.as("x").join(rows.as("y"), cond)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+  }
+
   /** MinHash signatures: nHashes permutations approximated by salted md5;
     * minhash_i(doc) = min over shingles of h60(i || ':' || shingle). */
   def minhashSignatures(docs: DataFrame, w: Int = 3, nHashes: Int = 8): DataFrame = {
@@ -80,40 +170,43 @@ object Dedup {
   }
 
   /** MinHash LSH candidate pairs → verified Jaccard over shingle sets.
-    * bands of `rowsPerBand` signature values; candidates share ≥1 band.
-    * Returns (doc_a, doc_b, jaccard_num, jaccard_den) with a<b and
-    * jaccard ≥ minJaccard (kept as an exact fraction for determinism).
-    * Exact duplicates are collapsed before blocking ([[collapseExact]])
-    * and their pairs restored afterwards — same output, no hot-bucket
-    * quadratics. */
+    * bands of `rowsPerBand` signature values; candidates share ≥1 non-hot
+    * band key ([[BandDfCap]]). Returns (doc_a, doc_b, jaccard_num,
+    * jaccard_den) with a<b and jaccard ≥ minJaccard (kept as an exact
+    * fraction for determinism). */
   def minhashLsh(docs: DataFrame, w: Int = 3, nHashes: Int = 8,
-                 rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val (reps, members) = collapseExact(docs)
+                 rowsPerBand: Int = 2, minJaccard: Double = 0.5,
+                 bandCap: Int = BandDfCap,
+                 collapseThreshold: Double = CollapsePairsPerDoc): DataFrame = {
+
     // ONE shingle table shared by the signature aggregation and the verify
     // join — the explode + distinct shuffle (the dominant scan at 100 TB)
     // happens once instead of twice
-    val sh = shingleTable(reps, w)
-    val aggs = (0 until nHashes).map(i =>
-      min(h60(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
-    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val nBands = nHashes / rowsPerBand
-    val bands = (0 until nBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      sig.select(col("doc_id"),
-        lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("band_key"))
-    }.reduce(_ unionByName _)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    expandJaccardPairs(verifyJaccardOnShingles(sh, cand, minJaccard), members, sh)
-  }
+    def pairsOn(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val sh3 = shingleTableTh(base, w)
+      val aggs = (0 until nHashes).map(i =>
+        min(h60(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
+      val sig = sh3.groupBy("doc_id", "th").agg(aggs.head, aggs.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val nBands = nHashes / rowsPerBand
+      val bands = (0 until nBands).map { b =>
+        val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+        sig.select(col("doc_id"), col("th"),
+          lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("band_key"))
+      }.reduce(_ unionByName _)
+      val blk = dropHotKeys(bands, Seq("band", "band_key"), bandCap)
+      val cand = blockedPairs(blk, Seq("band", "band_key"))
+      val sh = sh3.select("doc_id", "sh")
+      (verifyJaccardOnShingles(sh, cand, minJaccard), sh,
+        blk.select("doc_id").distinct())
+    }
 
-  private def shingleTable(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    if (shouldCollapse(docs, collapseThreshold)) {
+      val (reps, members) = collapseExact(docs)
+      val (repPairs, sh, keptDocs) = pairsOn(reps)
+      expandJaccardPairs(repPairs, members, sh, keptDocs)
+    } else pairsOn(docs)._1
+  }
 
   /** Exact Jaccard over candidate pairs against a prepared (doc_id, sh)
     * shingle table (blocked joins, never a cross join). */
@@ -133,20 +226,24 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_num", "jaccard_den")
   }
 
-  /** Exact n-gram Jaccard over candidate pairs. */
+  /** Exact n-gram Jaccard over externally-supplied candidate pairs. */
   def verifyJaccard(docs: DataFrame, cand: DataFrame, w: Int,
                     minJaccard: Double): DataFrame =
-    verifyJaccardOnShingles(shingleTable(docs, w), cand, minJaccard)
+    verifyJaccardOnShingles(shingleTableTh(docs, w).select("doc_id", "sh"),
+      cand, minJaccard)
 
   /** Representative pairs → all member pairs for the Jaccard family:
     * cross-group pairs expand with their verified fraction; within-group
     * pairs (identical texts) are exact matches (num = den = |shingles|),
-    * emitted only when the shingle set is non-empty — mirroring the
-    * blocked pipeline, where shingle-less docs never become candidates. */
+    * emitted only for groups whose representative survived blocking
+    * (`keptReps`: ≥1 non-hot blocking key) — mirroring the uncollapsed
+    * pipeline, where such docs never become candidates. */
   private def expandJaccardPairs(repPairs: DataFrame, members: DataFrame,
-                                 sh: DataFrame): DataFrame = {
+                                 sh: DataFrame, keptDocs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id").as("rep")).agg(count(lit(1)).as("n_sh"))
-    val grouped = members.join(sizes, Seq("rep"))
+    val grouped = members
+      .join(sizes, Seq("rep"))
+      .join(keptDocs.select(col("doc_id").as("rep")), Seq("rep"))
     val within = grouped.as("x").join(grouped.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -155,60 +252,86 @@ object Dedup {
       .unionByName(within)
   }
 
-  /** n-gram Jaccard near-dup: candidates = pairs sharing any shingle
-    * (shingle-blocked join), verified exactly. Exact-dup collapse as in
-    * [[minhashLsh]]. */
-  def ngramJaccard(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.3): DataFrame = {
-    val (reps, members) = collapseExact(docs)
-    val sh = shingleTable(reps, w)
-    val cand = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    expandJaccardPairs(verifyJaccardOnShingles(sh, cand, minJaccard), members, sh)
+  /** n-gram Jaccard near-dup: candidates = pairs sharing any shingle whose
+    * distinct-text DF ≤ dfCap (shingle-blocked join), verified exactly over
+    * the full shingle sets. */
+  def ngramJaccard(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.3,
+                   dfCap: Int = ShingleDfCap,
+                   collapseThreshold: Double = CollapsePairsPerDoc): DataFrame = {
+
+    def pairsOn(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val sh3 = shingleTableTh(base, w)
+      val blk = dropHotKeys(sh3, Seq("sh"), dfCap)
+      val cand = blockedPairs(blk, Seq("sh"))
+      val sh = sh3.select("doc_id", "sh")
+      (verifyJaccardOnShingles(sh, cand, minJaccard), sh,
+        blk.select("doc_id").distinct())
+    }
+
+    if (shouldCollapse(docs, collapseThreshold)) {
+      val (reps, members) = collapseExact(docs)
+      val (repPairs, sh, keptDocs) = pairsOn(reps)
+      expandJaccardPairs(repPairs, members, sh, keptDocs)
+    } else pairsOn(docs)._1
+  }
+
+  /** (doc_id, th, simhash); th carried for distinct-text DF accounting. */
+  private def simhashTh(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), md5(col("text")).as("th"),
+        explode(toks(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("h", h60(col("tok")))
+    val bitSums = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$b"))
+    val agg = tok.groupBy("doc_id", "th").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), col("th"), sim.as("simhash"))
   }
 
   /** SimHash: 60-bit fingerprint from token hashes — bit b of the simhash is
     * the majority vote of bit b over the distinct tokens' h60 values.
     * Pure relational: explode tokens → per-bit sums → reassemble. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .distinct()
-      .withColumn("h", h60(col("tok")))
-    val bitSums = (0 until 60).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$b"))
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 60).map(b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    simhashTh(docs).select("doc_id", "simhash")
 
   /** SimHash near-dup pairs: block by the 4 15-bit quarters (Hamming ≤ 3 ⇒
-    * at least one quarter equal), verify Hamming distance exactly.
-    * Exact-dup collapse as in [[minhashLsh]]: identical texts share every
-    * quarter (hottest possible block), so D copies would be D²/2
-    * candidates; collapsed, they re-enter as within-group hamming-0 pairs. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val (reps, members) = collapseExact(docs)
-    // fingerprints feed 4 block projections × 2 join sides — persist
-    val sig = simhash(reps).persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val blocks = (0 until 4).map(q =>
-      sig.select(col("doc_id"), col("simhash"),
-        lit(q).as("q"), shiftright(col("simhash"), q * 15).bitwiseAND(lit(0x7fffL)).as("qk")))
-      .reduce(_ unionByName _)
-    val cand = blocks.as("x").join(blocks.as("y"),
-        col("x.q") === col("y.q") && col("x.qk") === col("y.qk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
-      .distinct()
-    val repPairs = cand
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-    val within = members.as("x").join(members.as("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0).cast("int").as("hamming"))
-    expandPairs(repPairs, members, Seq("hamming")).unionByName(within)
+    * at least one quarter equal), drop quarter keys hotter than `quarterCap`
+    * distinct texts, verify Hamming distance exactly. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   quarterCap: Int = QuarterDfCap,
+                   collapseThreshold: Double = CollapsePairsPerDoc): DataFrame = {
+
+    def pairsOn(base: DataFrame): (DataFrame, DataFrame) = {
+      // fingerprints feed 4 block projections × 2 join sides — persist
+      val sig = simhashTh(base).persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val blocks = (0 until 4).map(q =>
+        sig.select(col("doc_id"), col("th"), col("simhash"),
+          lit(q).as("q"), shiftright(col("simhash"), q * 15).bitwiseAND(lit(0x7fffL)).as("qk")))
+        .reduce(_ unionByName _)
+      val blk = dropHotKeys(blocks, Seq("q", "qk"), quarterCap)
+      val cand = blk.as("x").join(blk.as("y"),
+          col("x.q") === col("y.q") && col("x.qk") === col("y.qk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
+          col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
+        .distinct()
+      val pairs = cand
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .where(col("hamming") <= maxHamming)
+        .select("doc_a", "doc_b", "hamming")
+      (pairs, blk.select("doc_id").distinct())
+    }
+
+    if (shouldCollapse(docs, collapseThreshold)) {
+      val (reps, members) = collapseExact(docs)
+      val (repPairs, keptDocs) = pairsOn(reps)
+      val grouped = members.join(keptDocs.select(col("doc_id").as("rep")), Seq("rep"))
+      val within = grouped.as("x").join(grouped.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0).cast("int").as("hamming"))
+      expandPairs(repPairs, members, Seq("hamming")).unionByName(within)
+    } else pairsOn(docs)._1
   }
 }

@@ -24,7 +24,7 @@ object PostProcess {
   def filterByMaxProb(chips: Dataset[Tile], threshold: Double): DataFrame = {
     val t = math.round(threshold * 255).toDouble
     chips.toDF()
-      .withColumn("mx", array_max(transform(flatten(col("pixels")), v => v)))
+      .withColumn("mx", array_max(flatten(col("pixels"))))
       .where(col("mx") >= lit(t))
       .select("raster_id", "i", "j", "mx")
   }

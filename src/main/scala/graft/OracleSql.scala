@@ -233,6 +233,70 @@ object OracleSql {
   }
 
   // ---------------------------------------------------------------------
+  // Chaikin smoothing (generalize_3857 oracle)
+  // ---------------------------------------------------------------------
+
+  /** generalize_3857 oracle: replays 5 Chaikin refinements of the two
+    * DP-simplified Mercator rectangles (reference:
+    * satproc/postprocess/generalize.py:102-114) with a recursive CTE.
+    *
+    * Geom.chaikin's numpy-style blend is, per closed-ring vertex cᵢ, two
+    * children: even = 0.75·cᵢ + 0.25·cᵢ₋₁ and odd = 0.75·cᵢ + 0.25·cᵢ₊₁,
+    * with the ring endpoints blending against themselves (R[0]=L[0],
+    * R[-1]=L[-1]).  Each CTE row carries (self, prev, next); wiring
+    * prev(first)=first and next(last)=last makes the endpoint special cases
+    * fall out of the uniform formulas, and the children's carried prev/next
+    * are the bit-identical expressions of their new neighbors.  The base
+    * rings are the Mercator corner images of the same 4326 corner
+    * expressions the generalize_3857_dp oracle pins, in DP's emitted vertex
+    * order (maxx,miny)→(minx,miny)→(minx,maxy)→(maxx,maxy)→close.
+    *
+    * Outputs integer stats at cm granularity (fp2 absorbs the ≤1-ulp
+    * tan/ln libm spread, as in reproject_3857): point count, envelope, and
+    * a per-vertex floor(100·x)+floor(100·y) checksum that pins every
+    * blended coordinate, a stronger check than area with no
+    * summation-order FP hazard. */
+  def chaikinStats: String = {
+    def mx(lon: String) = s"(radians($lon) * 6378137.0)"
+    def my(lat: String) = s"(ln(tan(${math.Pi / 4.0} + radians($lat) / 2.0)) * 6378137.0)"
+    val blobs = Seq(
+      (0, s"($C + 100 * $A)", s"($F + 60 * ($E))",
+        s"(($C + 128 * $A) + 32 * $A)", s"($F + 20 * ($E))"),
+      (1, s"(($C + 256 * $A) + 44 * $A)", s"(($F + 88 * ($E)) + 112 * ($E))",
+        s"(($C + 355 * $A) + 45 * $A)", s"(($F + 88 * ($E)) + 62 * ($E))"))
+    val baseRows = blobs.flatMap { case (b, lnMn, ltMn, lnMx, ltMx) =>
+      val x0 = mx(lnMn); val x1 = mx(lnMx); val y0 = my(ltMn); val y1 = my(ltMx)
+      Seq((x1, y0), (x0, y0), (x0, y1), (x1, y1), (x1, y0)).zipWithIndex.map {
+        case ((x, y), idx) => s"($b, $idx, $x, $y)"
+      }
+    }.mkString(", ")
+    s"""WITH RECURSIVE base(blob, idx, x, y) AS (VALUES $baseRows),
+       |b2 AS (
+       | SELECT blob, idx, x, y,
+       |  COALESCE(LAG(x) OVER w, x) AS px, COALESCE(LAG(y) OVER w, y) AS py,
+       |  COALESCE(LEAD(x) OVER w, x) AS nx, COALESCE(LEAD(y) OVER w, y) AS ny
+       | FROM base WINDOW w AS (PARTITION BY blob ORDER BY idx)),
+       |ch AS (
+       | SELECT blob, 0 AS it, idx, x, y, px, py, nx, ny FROM b2
+       | UNION ALL
+       | SELECT blob, it + 1, 2 * idx + c.k,
+       |  CASE WHEN c.k = 0 THEN x * 0.75 + px * 0.25 ELSE x * 0.75 + nx * 0.25 END,
+       |  CASE WHEN c.k = 0 THEN y * 0.75 + py * 0.25 ELSE y * 0.75 + ny * 0.25 END,
+       |  CASE WHEN c.k = 0 THEN px * 0.75 + x * 0.25 ELSE x * 0.75 + px * 0.25 END,
+       |  CASE WHEN c.k = 0 THEN py * 0.75 + y * 0.25 ELSE y * 0.75 + py * 0.25 END,
+       |  CASE WHEN c.k = 0 THEN x * 0.75 + nx * 0.25 ELSE nx * 0.75 + x * 0.25 END,
+       |  CASE WHEN c.k = 0 THEN y * 0.75 + ny * 0.25 ELSE ny * 0.75 + y * 0.25 END
+       | FROM ch, (VALUES (0), (1)) c(k) WHERE it < 5)
+       |SELECT 255 AS dn, CAST(count(*) AS INT) AS n_points,
+       | CAST(FLOOR(MIN(x) * 100.0) AS BIGINT) AS minx_fp,
+       | CAST(FLOOR(MIN(y) * 100.0) AS BIGINT) AS miny_fp,
+       | CAST(FLOOR(MAX(x) * 100.0) AS BIGINT) AS maxx_fp,
+       | CAST(FLOOR(MAX(y) * 100.0) AS BIGINT) AS maxy_fp,
+       | CAST(SUM(CAST(FLOOR(x * 100.0) AS BIGINT) + CAST(FLOOR(y * 100.0) AS BIGINT)) AS BIGINT) AS coord_sum_cm
+       |FROM ch WHERE it = 5 GROUP BY blob""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // grids
   // ---------------------------------------------------------------------
 

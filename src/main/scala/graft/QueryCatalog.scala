@@ -354,17 +354,32 @@ object QueryCatalog {
     }),
 
     // ---- M10–M12: generalize ------------------------------------------------
+    // Chaikin-smoothed variant: emits fp2 (cm) stats + a per-vertex floor
+    // checksum instead of geomStats' fp6/area — integer-exact under the
+    // ≤1-ulp tan/ln libm spread and with no summation-order FP hazard, so
+    // the DuckDB oracle (OracleSql.chaikinStats, a recursive-CTE replay of
+    // the blend) can pin all 160 blended vertices per blob.
     "generalize_3857" -> ((s, _) => {
+      import s.implicits._
       val polys = PostProcess.polygonize(s, Fixtures.probChips(s), Fixtures.LuxAffine)
-      geomStats(s, PostProcess.generalize(polys, "epsg:4326", Some("epsg:3857"),
-        douglasTolerance = 0.1, chaikin = true))
+      PostProcess.generalize(polys, "epsg:4326", Some("epsg:3857"),
+          douglasTolerance = 0.1, chaikin = true)
+        .select(col("geom").as[Array[Byte]], col("dn").as[Int]).map { case (wkb, dn) =>
+          val g = Geom.fromWkb(wkb).asInstanceOf[org.locationtech.jts.geom.Polygon]
+          val e = g.getEnvelopeInternal
+          val cs = g.getExteriorRing.getCoordinates
+          (dn, g.getNumPoints,
+            math.floor(e.getMinX * 100.0).toLong, math.floor(e.getMinY * 100.0).toLong,
+            math.floor(e.getMaxX * 100.0).toLong, math.floor(e.getMaxY * 100.0).toLong,
+            cs.map(c => math.floor(c.x * 100.0).toLong + math.floor(c.y * 100.0).toLong).sum)
+        }.toDF("dn", "n_points", "minx_fp", "miny_fp", "maxx_fp", "maxy_fp", "coord_sum_cm")
     }),
     // DP-only variant with a DuckDB oracle: the simplified blobs stay
     // axis-aligned in 3857 (Mercator preserves axis alignment), so the
     // envelope equals the Mercator images of the analytic 4326 corners —
     // fp2 (cm) like reproject_3857 because tan/ln differ by ≤1 ulp across
-    // libm builds. Chaikin smoothing stays under generalize_3857's
-    // ScalaTest goldens (not SQL-expressible).
+    // libm builds. The chaikin = true path is pinned separately by
+    // generalize_3857's vertex-checksum oracle.
     "generalize_3857_dp" -> ((s, _) => {
       import s.implicits._
       val polys = PostProcess.polygonize(s, Fixtures.probChips(s), Fixtures.LuxAffine)
@@ -845,6 +860,8 @@ object QueryCatalog {
          | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
          | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename
          |FROM kept""".stripMargin,
+
+    "generalize_3857" -> OracleSql.chaikinStats,
 
     "generalize_3857_dp" -> {
       def mx(lon: String) = s"CAST(FLOOR(radians($lon) * 6378137.0 * 100.0) AS BIGINT)"

@@ -99,7 +99,8 @@ object Bench {
       "dedup_ngram_jaccard", "ann_topk", "ann_ivf", "token_count", "lang_id",
       "text_quality", "doc_fingerprint", "extract_chips", "filter_chips",
       "polygonize_dissolve", "smooth_stitch", "scale_minmax", "histogram_match",
-      "generalize_3857", "spatial_filter_gaussian", "retile_64", "streaming_counts")
+      "generalize_3857", "spatial_filter_gaussian", "spatial_filter_median",
+      "retile_64", "streaming_counts")
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val q0 = System.nanoTime()

@@ -393,6 +393,31 @@ object OracleSql {
        |FROM out_ GROUP BY 1, 2""".stripMargin
   }
 
+  /** spatial_filter_median oracle: per output pixel the 5×5 neighborhood
+    * median with BORDER_REPLICATE index clamping at the RASTER edges
+    * (RasterMath.medianBlur + the halo exchange ⇒ whole-raster parity).
+    * The median of 25 values is element 12 of the sorted window — DuckDB's
+    * quantile_disc(0.5) picks position (n−1)·0.5 = 12, and the result is
+    * one of the input REALs, so the comparison is bit-exact with no
+    * arithmetic; only the per-tile ·100-floored sum reassociates (absorbed,
+    * as in spatial_filter_gaussian). */
+  def spatialFilterMedian: String = {
+    val ry = s"LEAST(GREATEST(g.row_off + y.y + ky.ky - 2, 0), ${H - 1})"
+    val rx = s"LEAST(GREATEST(g.col_off + x.x + kx.kx - 2, 0), ${W - 1})"
+    val v = s"CAST(CAST((b.b * 7 + $ry * 13 + $rx) % 256 AS REAL) / CAST(850 AS REAL) AS REAL)"
+    s"""WITH g AS (SELECT * FROM ${gridValues(128, 128, "exact")}),
+       |med AS (
+       | SELECT g.i, g.j, b.b AS b, y.y AS y, x.x AS x,
+       |  quantile_disc($v, 0.5) AS v
+       | FROM g, range(0, 128) y(y), range(0, 128) x(x), range(1, 5) b(b),
+       |      range(0, 5) ky(ky), range(0, 5) kx(kx)
+       | WHERE y.y < g.win_height AND x.x < g.win_width
+       | GROUP BY 1, 2, 3, 4, 5)
+       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       | CAST(FLOOR(SUM(CAST(v AS DOUBLE)) * 100.0) AS BIGINT) AS sum_fp
+       |FROM med GROUP BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // histogram matching (skimage joint-CDF interp, per aligned window pair)
   // ---------------------------------------------------------------------

@@ -29,6 +29,19 @@ object QueryCatalog {
   /** floor(x·1e6) as bigint — the cross-engine-stable fixed-point encode. */
   private def fp6(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
 
+  /** One duplicate-pair-mass probe per sf dir, shared by the three blocked
+    * dedup queries (each would otherwise pay its own groupBy(md5(text))
+    * pass); resolves to a forced collapse decision for [[Dedup]]'s
+    * `collapseThreshold` parameter (output is decision-invariant). */
+  private val dupProbeCache = scala.collection.concurrent.TrieMap.empty[String, Double]
+  private def memoizedCollapse(s: SparkSession, dir: String): Double = {
+    val pairsPerDoc = dupProbeCache.getOrElseUpdate(dir, {
+      val (mass, n) = Dedup.dupPairMass(docs(s, dir))
+      if (n == 0) 0.0 else mass / n
+    })
+    if (pairsPerDoc > Dedup.CollapsePairsPerDoc) -1.0 else Double.PositiveInfinity
+  }
+
   // Deterministic lat/lon derived from doc_id (same arithmetic in oracles).
   private val dLat: Column = lit(-85.0) + (col("doc_id") * lit(104729L) % lit(17000L)).cast("double") / lit(100.0)
   private val dLon: Column = lit(-180.0) + (col("doc_id") * lit(7919L) % lit(36000L)).cast("double") / lit(100.0)
@@ -219,10 +232,13 @@ object QueryCatalog {
     // ---- dedup family ------------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir))),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), minJaccard = 0.4)),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), w = 5, minJaccard = 0.25)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), minJaccard = 0.4,
+      collapseThreshold = memoizedCollapse(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), w = 5, minJaccard = 0.25,
+      collapseThreshold = memoizedCollapse(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
-    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 12)),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 12,
+      collapseThreshold = memoizedCollapse(s, dir))),
     // sign-LSH blocked near-dup pairs (identical 8-plane sign pattern →
     // candidate, then exact verify). The oracle reproduces the SAME
     // deterministic hyperplanes as SQL literals, so both engines block
@@ -396,6 +412,17 @@ object QueryCatalog {
     "spatial_filter_gaussian" -> ((s, _) => {
       import s.implicits._
       PostProcess.spatialFilter(s, Fixtures.luxTiles(s, mode = "exact"), "gaussian", 5)
+        .toDF()
+        .select(col("i"), col("j"),
+          floor(aggregate(flatten(col("pixels")).cast("array<double>"), lit(0.0),
+            (a, v) => a + v) * lit(100.0)).cast("long").as("sum_fp"))
+    }),
+    // median path of M9 (spatial_filter.py supports both modes); the oracle
+    // re-picks each 5x5 neighborhood median discretely — see
+    // OracleSql.spatialFilterMedian
+    "spatial_filter_median" -> ((s, _) => {
+      import s.implicits._
+      PostProcess.spatialFilter(s, Fixtures.luxTiles(s, mode = "exact"), "median", 5)
         .toDF()
         .select(col("i"), col("j"),
           floor(aggregate(flatten(col("pixels")).cast("array<double>"), lit(0.0),
@@ -824,6 +851,8 @@ object QueryCatalog {
     "retile_64" -> OracleSql.retile64,
 
     "spatial_filter_gaussian" -> OracleSql.spatialFilterGaussian,
+
+    "spatial_filter_median" -> OracleSql.spatialFilterMedian,
 
     "smooth_stitch" -> OracleSql.smoothStitch(1.5),
 

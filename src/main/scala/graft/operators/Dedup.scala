@@ -75,7 +75,7 @@ object Dedup {
     * (Σ Dᵢ(Dᵢ−1) as a double, N).  Σ Dᵢ(Dᵢ−1) is exactly twice the number of
     * candidate pairs that exact duplicates would inject into any blocking
     * stage — the quantity the collapse exists to eliminate. */
-  private[operators] def dupPairMass(docs: DataFrame): (Double, Long) = {
+  private[graft] def dupPairMass(docs: DataFrame): (Double, Long) = {
     val r = docs.groupBy(md5(col("text")).as("th"))
       .agg(count(lit(1)).cast("double").as("n"))
       .agg(sum(col("n") * (col("n") - lit(1.0))).as("mass"),
@@ -135,14 +135,22 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Drop rows whose blocking key is shared by more than `cap` distinct
-    * texts. The hot-key set is tiny by construction (≤ rows/cap keys), so
-    * AQE turns the anti-join into a broadcast at runtime. */
+    * texts.  Implemented as ONE exchange: window by the blocking key, where
+    * max(dense_rank ordered by th) = exact count(DISTINCT th) — a
+    * groupBy(countDistinct) + anti-join costs 3 exchanges for the same
+    * filter.  The output is persisted hash-partitioned by the key, so the
+    * downstream candidate self-join ([[blockedPairs]]) reuses the
+    * partitioning and adds NO further exchange.  Hot-key skew is the same
+    * single-reducer profile the aggregate's final stage would have, and it
+    * is bounded anyway: rows beyond the cap are exactly what gets cut. */
   private def dropHotKeys(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val hot = rows.groupBy(keyCols.map(col): _*)
-      .agg(countDistinct(col("th")).as("df"))
-      .where(col("df") > cap)
-      .select(keyCols.map(col): _*)
-    rows.join(hot, keyCols, "left_anti")
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    rows
+      .withColumn("dr", dense_rank().over(pw.orderBy(col("th"))))
+      .withColumn("df", max(col("dr")).over(pw))
+      .where(col("df") <= cap)
+      .drop("dr", "df")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   /** Shingle-blocked candidate pairs with the DF cap applied — exposed so
@@ -151,7 +159,9 @@ object Dedup {
   private[operators] def ngramCandidates(docs: DataFrame, w: Int, dfCap: Int): DataFrame =
     blockedPairs(dropHotKeys(shingleTableTh(docs, w), Seq("sh"), dfCap), Seq("sh"))
 
-  /** Candidate pairs (doc_a < doc_b) sharing a blocking key. */
+  /** Candidate pairs (doc_a < doc_b) sharing a blocking key. Both join
+    * inputs are the persisted, key-partitioned [[dropHotKeys]] output, so
+    * the equi-join is co-partitioned (no exchange). */
   private def blockedPairs(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
     val cond = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col("x.doc_id") < col("y.doc_id")

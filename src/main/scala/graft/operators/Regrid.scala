@@ -94,6 +94,14 @@ object Regrid {
     }
     val nI = nMain(rasterH); val nJ = nMain(rasterW)
     val hasExtras = mode == "whole_overlap" && (rasterH % step != 0 || rasterW % step != 0)
+    // When the main grid is empty in a dimension (raster dim <= tile size)
+    // but whole_overlap extras exist, TileGrid.slidingWindows indexes the
+    // extras at lastPos+1 = 1 and can emit DUPLICATE (i, j) keys (bottom-row
+    // cell and corner both land at (1, 1)) — windows that cannot be
+    // reassembled by key. Reject rather than silently mis-index.
+    require(!hasExtras || (nI > 0 && nJ > 0),
+      s"whole_overlap regrid needs a non-empty main grid (raster ${rasterW}x$rasterH, " +
+        s"size $size, step $step): the extras' (i,j) indices collide when the main grid is empty")
     // whole_overlap extras (TileGrid.slidingWindows:91-106): a right column
     // at col W-size (j index nJ), a bottom row at row H-size (i index nI),
     // and the corner (nI, nJ)

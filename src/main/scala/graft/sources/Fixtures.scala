@@ -335,8 +335,11 @@ object Fixtures {
     java.lang.Double.parseDouble(new String(b, from, until - from,
       java.nio.charset.StandardCharsets.US_ASCII))
 
-  /** html[from, until) as UTF-8 equals `text`? ASCII fast path, full decode
-    * fallback on any non-ASCII byte. */
+  /** html[from, until) equals `text`'s UTF-8 BYTES? text_ok is
+    * byte-equality-defined — identical to the codegen UTF8String path, so a
+    * region containing invalid UTF-8 never equals a valid String text (no
+    * U+FFFD replacement-char laundering, which a decode-then-compare would
+    * introduce). ASCII fast path avoids encoding `text`. */
   private def regionEqualsUtf8(html: Array[Byte], from: Int, until: Int,
                                text: String): Boolean = {
     val n = until - from
@@ -351,6 +354,9 @@ object Fixtures {
       }
     }
     if (ascii) n == text.length
-    else new String(html, from, n, java.nio.charset.StandardCharsets.UTF_8) == text
+    else {
+      val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.equals(html, from, until, tb, 0, tb.length)
+    }
   }
 }

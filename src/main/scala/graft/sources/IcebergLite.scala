@@ -86,14 +86,32 @@ class IcebergLite(root: String, spark: SparkSession) {
     snap
   }
 
+  /** Above this many committed snapshots, filter with a semi-join against a
+    * committed-ids dataset instead of an `isin` literal list: the literal
+    * list grows the PLAN itself linearly per commit (quadratic analysis
+    * cost over a long-lived append-only table), while the semi-join stays
+    * O(1) in plan size and Spark's dynamic partition pruning still prunes
+    * snapshot_id directories at runtime. Below it, the static `isin` is
+    * kept for compile-time partition pruning (orphan dirs never opened). */
+  private val IsinPruneLimit = 64
+
+  private def committedOnly(df: DataFrame, committed: Seq[Long]): DataFrame =
+    if (committed.length <= IsinPruneLimit)
+      df.where(col("snapshot_id").isin(committed: _*))
+    else {
+      import spark.implicits._
+      df.join(broadcast(committed.toDF("snapshot_id")), Seq("snapshot_id"), "left_semi")
+    }
+
   /** Snapshot-isolated data reader: only files under committed snapshot
-    * directories are visible (partition pruning on snapshot_id does the
-    * file-level selection — orphan directories are never opened). */
+    * directories are visible. Returns empty when the table has committed
+    * snapshots but nothing was ever written under data/<sub> (metadata-only
+    * commits, or a first data commit to a different sub). */
   def readData(sub: String): DataFrame = {
     val committed = committedSnapshots()
-    if (committed.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(s"$root/data/$sub")
-      .where(col("snapshot_id").isin(committed: _*))
+    if (committed.isEmpty || !Files.exists(Paths.get(root, "data", sub)))
+      spark.emptyDataFrame
+    else committedOnly(spark.read.parquet(s"$root/data/$sub"), committed)
       .drop("snapshot_id")
   }
 
@@ -101,8 +119,7 @@ class IcebergLite(root: String, spark: SparkSession) {
   def manifests(): DataFrame = {
     val committed = committedSnapshots()
     if (committed.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(s"$metaDir/manifests")
-      .where(col("snapshot_id").isin(committed: _*))
+    else committedOnly(spark.read.parquet(s"$metaDir/manifests"), committed)
   }
 
   /** Resume filter: drop work units whose part_key is already committed

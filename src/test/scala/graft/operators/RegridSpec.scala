@@ -27,6 +27,22 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate grids: raster dim == tile size is rejected for whole_overlap, empty for whole") {
+    val src = Fixtures.luxTiles(spark, mode = "exact")
+    // height == size with height % step != 0: TileGrid emits extras at
+    // lastPos+1 with colliding (i,j) keys — regrid must reject, not mis-index
+    val e = intercept[IllegalArgumentException] {
+      Regrid.regrid(spark, src, Fixtures.LuxWidth, Fixtures.LuxHeight,
+        Fixtures.LuxHeight, 200, "whole_overlap").collect()
+    }
+    assert(e.getMessage.contains("non-empty main grid"))
+    // same shape under "whole": both direct generation and regrid are empty
+    assert(Regrid.regrid(spark, src, Fixtures.LuxWidth, Fixtures.LuxHeight,
+      Fixtures.LuxHeight, 200, "whole").count() == 0)
+    assert(graft.core.TileGrid.squareWindows(Fixtures.LuxHeight, 200,
+      Fixtures.LuxWidth, Fixtures.LuxHeight, "whole").isEmpty)
+  }
+
   test("general regrid: exact/128 source → every target grid equals direct generation") {
     val src = Fixtures.luxTiles(spark, mode = "exact") // 128 exact
     for ((size, step, mode) <- Seq((128, 64, "whole_overlap"), (64, 64, "exact"),

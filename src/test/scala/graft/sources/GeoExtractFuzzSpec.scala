@@ -64,6 +64,22 @@ class GeoExtractFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("invalid UTF-8 body bytes: text_ok is byte-equality, no U+FFFD laundering") {
+    // <p> region = 0xC3 '(' — an invalid UTF-8 sequence. Decoding it yields
+    // "�(", whose RE-ENCODING (EF BF BD 28) differs from the raw bytes,
+    // so byte-equality must say false even for the replacement-decoded text.
+    val html = Array[Byte]('<', 'p', '>', 0xC3.toByte, '(', '<', '/', 'p', '>')
+    val laundered = new String(html, 3, 2, java.nio.charset.StandardCharsets.UTF_8)
+    assert(laundered == "�(") // confirms the region is invalid UTF-8
+    check(html, laundered) // variants must agree
+    assert(!Fixtures.extractGeoAndCheck(html, laundered)._3)
+    assert(!Fixtures.extractGeoAndCheckU8(html, UTF8String.fromString(laundered))._3)
+    // a text whose UTF-8 bytes DO equal the region still matches
+    val valid = "é(" // C3 A9 28
+    val html2 = s"<p>$valid</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(Fixtures.extractGeoAndCheck(html2, valid)._3)
+  }
+
   test("non-ascii text: byte comparison equals string comparison for valid UTF-8") {
     val text = "café € zürich"
     val html = s"""<html><p>$text</p></html>""".getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -156,7 +156,31 @@ object OracleSql {
     *
     * Chips kept mirror the F5 empty-mask skip: any of the three masks
     * nonzero (distance ⊆ extent, so extent-or-boundary decides). */
-  def maskAll(polys: Seq[Seq[(Double, Double)]]): String = {
+  def maskAll(polys: Seq[Seq[(Double, Double)]]): String =
+    s"""${maskCtes(polys)}
+       |SELECT 'lux1' AS raster_id, CAST(k.i AS INT) AS i, CAST(k.j AS INT) AS j,
+       | kind.kind AS kind, 0 AS class_idx,
+       | CAST(CASE kind.kind
+       |  WHEN 'extent' THEN COALESCE(e.n_ext, 0)
+       |  WHEN 'boundary' THEN COALESCE(b.n_bnd, 0)
+       |  ELSE COALESCE(d.n_dist, 0) END AS BIGINT) AS n_nonzero
+       |FROM kept k
+       |CROSS JOIN (VALUES ('extent'), ('boundary'), ('distance')) kind(kind)
+       |LEFT JOIN extcnt e ON e.i = k.i AND e.j = k.j
+       |LEFT JOIN bndcnt b ON b.i = k.i AND b.j = k.j
+       |LEFT JOIN dcnt d ON d.i = k.i AND d.j = k.j""".stripMargin
+
+  /** make_masks_noborder oracle (M6 extent_no_border): the emitted extent
+    * mask is extent MINUS the Bresenham boundary pixels — exactly the `nb`
+    * pixel set; F5 keeps chips whose no-border mask is nonzero. */
+  def maskNoBorder(polys: Seq[Seq[(Double, Double)]]): String =
+    s"""${maskCtes(polys)},
+       |nbcnt AS (SELECT i, j, count(*) AS n FROM nb GROUP BY 1, 2)
+       |SELECT 'lux1' AS raster_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       | 'extent' AS kind, 0 AS class_idx, CAST(n AS BIGINT) AS n_nonzero
+       |FROM nbcnt WHERE n > 0""".stripMargin
+
+  private def maskCtes(polys: Seq[Seq[(Double, Double)]]): String = {
     val det = s"($A * $E)"
     val bedges = polys.zipWithIndex.flatMap { case (ring, pid) =>
       (ring :+ ring.head).sliding(2).zipWithIndex.map {
@@ -218,18 +242,7 @@ object OracleSql {
        | -- splits a bare UNION body into base/step halves and duplicates
        | SELECT DISTINCT i, j FROM (
        |  SELECT i, j FROM extcnt WHERE n_ext > 0
-       |  UNION ALL SELECT i, j FROM bndcnt WHERE n_bnd > 0))
-       |SELECT 'lux1' AS raster_id, CAST(k.i AS INT) AS i, CAST(k.j AS INT) AS j,
-       | kind.kind AS kind, 0 AS class_idx,
-       | CAST(CASE kind.kind
-       |  WHEN 'extent' THEN COALESCE(e.n_ext, 0)
-       |  WHEN 'boundary' THEN COALESCE(b.n_bnd, 0)
-       |  ELSE COALESCE(d.n_dist, 0) END AS BIGINT) AS n_nonzero
-       |FROM kept k
-       |CROSS JOIN (VALUES ('extent'), ('boundary'), ('distance')) kind(kind)
-       |LEFT JOIN extcnt e ON e.i = k.i AND e.j = k.j
-       |LEFT JOIN bndcnt b ON b.i = k.i AND b.j = k.j
-       |LEFT JOIN dcnt d ON d.i = k.i AND d.j = k.j""".stripMargin
+       |  UNION ALL SELECT i, j FROM bndcnt WHERE n_bnd > 0))""".stripMargin
   }
 
   // ---------------------------------------------------------------------

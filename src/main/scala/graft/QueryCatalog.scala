@@ -349,6 +349,21 @@ object QueryCatalog {
     }),
 
     // ---- A1/M2: two-pass min-max scale (formula oracle) --------------------
+    // M1 rescale_intensity, "values" mode — the one mode whose oracle is a
+    // pure expression tree (clip → scale → ·254+1 → truncate): percentile
+    // modes stay ScalaTest-gated because DuckDB's quantile_cont may lerp
+    // with a different expression tree (ulp differences ahead of a uint8
+    // truncation are not engine-portable).
+    "rescale_values" -> ((s, _) => {
+      import s.implicits._
+      Fixtures.luxTiles(s).flatMap { t =>
+        graft.core.RasterMath.rescaleIntensity(t.pixels, "values", (0.05, 0.25))
+          .zipWithIndex.map { case (b, bi) =>
+            (t.i, t.j, bi + 1, b.map(x => (x & 0xff).toLong).sum)
+          }
+      }.toDF("i", "j", "band", "sum_u8")
+    }),
+
     "scale_minmax" -> ((s, _) => {
       import s.implicits._
       PostProcess.minmaxScale(s, Fixtures.luxTiles(s)).toDF()
@@ -437,6 +452,9 @@ object QueryCatalog {
     "make_masks" -> ((s, _) =>
       maskCounts(s).where(col("kind") === lit("extent"))),
     "make_masks_all" -> ((s, _) => maskCounts(s)),
+    // M6 extent_no_border: boundary pixels zeroed out of the extent mask
+    "make_masks_noborder" -> ((s, _) =>
+      maskCounts(s, masks = Set("extent"), noBorder = true)),
 
     // ---- multimodal batched decode (REAL javax.imageio PNG decode) ---------
     // the decoded width/height/channel-means must reproduce what was
@@ -464,12 +482,14 @@ object QueryCatalog {
 
   /** Shared make_masks pipeline: per-chip nonzero counts of each requested
     * mask kind over the fixture labels. */
-  private def maskCounts(s: SparkSession): DataFrame = {
+  private def maskCounts(s: SparkSession,
+                         masks: Set[String] = Set("extent", "boundary", "distance"),
+                         noBorder: Boolean = false): DataFrame = {
     val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
     val chips = ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
       labels = Some(labels),
       cfg = ChipPipeline.ChipConfig(bands = Some(Seq(1, 2, 3, 4)),
-        classes = Some(Seq("A")), masks = Set("extent", "boundary", "distance")))
+        classes = Some(Seq("A")), masks = masks, extentNoBorder = noBorder))
     import s.implicits._
     ChipPipeline.masksOf(s, chips)
       .select("raster_id", "i", "j", "kind", "class_idx", "mask")
@@ -870,6 +890,8 @@ object QueryCatalog {
 
     "make_masks_all" -> OracleSql.maskAll(labelRings),
 
+    "make_masks_noborder" -> OracleSql.maskNoBorder(labelRings),
+
     "extract_chips" ->
       s"""WITH grid AS (SELECT * FROM ${OracleSql.gridValues(128, 128, "whole_overlap")}),
          |${OracleSql.extentCountCte(labelRings)},
@@ -970,6 +992,17 @@ object QueryCatalog {
          | FROM grid, range(0, 128) y(y), range(0, 128) x(x))
          |SELECT 'prob' AS raster_id, i, j, max(v)::INT AS mx
          |FROM px GROUP BY 2, 3 HAVING max(v) >= 13""".stripMargin,
+
+    "rescale_values" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT i, j, b.b AS band,
+         |  CAST(CAST((b.b * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS DOUBLE) AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x), range(1, 5) b(b))
+         |SELECT i, j, band::INT AS band,
+         | CAST(SUM(CAST(trunc(((CASE WHEN v < 0.05 THEN 0.05 WHEN v > 0.25 THEN 0.25 ELSE v END) - 0.05)
+         |   / (0.25 - 0.05) * 254.0 + 1.0) AS BIGINT)) AS BIGINT) AS sum_u8
+         |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     "scale_minmax" ->
       s"""WITH grid AS ($sqlTileGrid),

@@ -456,6 +456,39 @@ object QueryCatalog {
     "make_masks_noborder" -> ((s, _) =>
       maskCounts(s, masks = Set("extent"), noBorder = true)),
 
+    // ---- S2: GeoJSON vector scan -------------------------------------------
+    // round-trips a deterministic FeatureCollection (fixture label rings +
+    // point/linestring/multipolygon + three malformed features) through the
+    // distributed Jackson parse; invalid/bowtie/null/unsupported features
+    // must be DROPPED, valid ones land with exact vertex counts/envelopes.
+    // The oracle re-derives the stats from the same coordinate literals.
+    "geojson_scan" -> ((s, _) => {
+      import s.implicits._
+      val feats = s.createDataset(Seq(geoJsonFixtureDoc))
+        .flatMap(graft.sources.GeoJson.parseCollection)
+      feats.map { f =>
+        val g = Geom.fromWkb(f.geom)
+        val e = g.getEnvelopeInternal
+        (f.props.getOrElse("name", ""), g.getGeometryType, g.getNumPoints,
+          math.floor(e.getMinX * 1e6).toLong, math.floor(e.getMinY * 1e6).toLong,
+          math.floor(e.getMaxX * 1e6).toLong, math.floor(e.getMaxY * 1e6).toLong)
+      }.toDF("name", "gtype", "n_points", "minx_fp", "miny_fp", "maxx_fp", "maxy_fp")
+    }),
+
+    // ---- F6/S4/S13: manifest-resume anti-join --------------------------------
+    // commits a deterministic manifest (part keys = multiples of 3 below 60,
+    // across two snapshots) into a fresh Iceberg-style table, then emits the
+    // PENDING work rows — the skip-existing resume path end-to-end
+    // (reference: satproc/chips.py:227-233).
+    "resume_pending" -> ((s, _) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_resume_q").toString
+      val tbl = new graft.sources.IcebergLite(root, s)
+      tbl.commit(None, s.range(0, 10).select((col("id") * 3).as("part_key")), "append")
+      tbl.commit(None, s.range(10, 20).select((col("id") * 3).as("part_key")), "append")
+      tbl.pendingWork(s.range(0, 60).toDF("part_key"), "part_key")
+    }),
+
     // ---- multimodal batched decode (REAL javax.imageio PNG decode) ---------
     // the decoded width/height/channel-means must reproduce what was
     // encoded — the oracle derives them analytically, so a broken decode
@@ -479,6 +512,55 @@ object QueryCatalog {
             (a, v) => a + v) * lit(100.0)).cast("long").as("sum_fp"))
     })
   )
+
+  /** The valid geometries of the S2 GeoJSON fixture doc, shared by the
+    * query's doc builder and the oracle's literal re-derivation. geomToJson
+    * writes Double.toString and Jackson parses it back to the identical
+    * double, so the oracle's coordinate literals are exactly what the
+    * parser must reproduce. */
+  private lazy val geoJsonFixtureGeoms: Seq[(String, org.locationtech.jts.geom.Geometry)] = {
+    import org.locationtech.jts.geom.Coordinate
+    val f = Geom.factory
+    val geoms = Fixtures.labelGeoms()
+    val p1 = geoms(0)._1.asInstanceOf[org.locationtech.jts.geom.Polygon]
+    val p2 = geoms(2)._1.asInstanceOf[org.locationtech.jts.geom.Polygon]
+    Seq(
+      "p1" -> p1,
+      "p2" -> p2,
+      "pt" -> f.createPoint(new Coordinate(5.99, 50.11)),
+      "ls" -> f.createLineString(Array((5.98, 50.10), (5.99, 50.105), (6.0, 50.11))
+        .map { case (x, y) => new Coordinate(x, y) }),
+      "mp" -> f.createMultiPolygon(Array(p1, p2)))
+  }
+
+  /** Deterministic FeatureCollection for `geojson_scan`: the valid fixture
+    * geometries plus a self-intersecting bowtie polygon, a null geometry
+    * and an unsupported type — all three must be dropped by the parser
+    * (reference drop tolerance: satproc/chips.py:343-361). */
+  private lazy val geoJsonFixtureDoc: String = {
+    import graft.sources.GeoJson.geomToJson
+    def feat(name: String, gj: String) =
+      s"""{"type":"Feature","geometry":$gj,"properties":{"name":"$name"}}"""
+    val valid = geoJsonFixtureGeoms.map { case (n, g) => feat(n, geomToJson(g)) }
+    val bad = Seq(
+      feat("bow", """{"type":"Polygon","coordinates":[[[0,0],[2,2],[2,0],[0,2],[0,0]]]}"""),
+      """{"type":"Feature","geometry":null,"properties":{"name":"none"}}""",
+      feat("gc", """{"type":"GeometryCollection","geometries":[]}"""))
+    (valid ++ bad).mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+  }
+
+  private def geoJsonScanOracle: String = {
+    val rows = geoJsonFixtureGeoms.flatMap { case (name, g) =>
+      g.getCoordinates.map(c => s"('$name', '${g.getGeometryType}', ${c.x}, ${c.y})")
+    }.mkString(", ")
+    s"""WITH v(name, gtype, x, y) AS (VALUES $rows)
+       |SELECT name, gtype, CAST(count(*) AS INT) AS n_points,
+       | CAST(FLOOR(MIN(x) * 1000000.0) AS BIGINT) AS minx_fp,
+       | CAST(FLOOR(MIN(y) * 1000000.0) AS BIGINT) AS miny_fp,
+       | CAST(FLOOR(MAX(x) * 1000000.0) AS BIGINT) AS maxx_fp,
+       | CAST(FLOOR(MAX(y) * 1000000.0) AS BIGINT) AS maxy_fp
+       |FROM v GROUP BY 1, 2""".stripMargin
+  }
 
   /** Shared make_masks pipeline: per-chip nonzero counts of each requested
     * mask kind over the fixture labels. */
@@ -891,6 +973,11 @@ object QueryCatalog {
     "make_masks_all" -> OracleSql.maskAll(labelRings),
 
     "make_masks_noborder" -> OracleSql.maskNoBorder(labelRings),
+
+    "geojson_scan" -> geoJsonScanOracle,
+
+    "resume_pending" ->
+      "SELECT r.range AS part_key FROM range(0, 60) r WHERE r.range % 3 <> 0",
 
     "extract_chips" ->
       s"""WITH grid AS (SELECT * FROM ${OracleSql.gridValues(128, 128, "whole_overlap")}),

@@ -456,6 +456,34 @@ object QueryCatalog {
     "make_masks_noborder" -> ((s, _) =>
       maskCounts(s, masks = Set("extent"), noBorder = true)),
 
+    // ---- S6: jpg chip sink payload -------------------------------------------
+    // chipType=jpg dstacks the FIRST 3 bands of the uint8 (values-mode
+    // rescaled) image; write-side low-contrast skip stays off so every chip
+    // carries a payload. The oracle rebuilds the 3-band u8 sums from the
+    // fixture formula with the same clip/scale/truncate tree.
+    "jpg_chips" -> ((s, _) => {
+      import s.implicits._
+      val chips = ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
+        cfg = ChipPipeline.ChipConfig(chipType = "jpg",
+          rescaleMode = Some("values"), rescaleRange = (0.05, 0.25)))
+      chips.map(c => (c.i, c.j, c.filename, c.img_u8.length,
+          c.img_u8.map(_.map(x => (x & 0xff).toLong).sum).sum))
+        .toDF("i", "j", "filename", "n_bands", "sum_u8")
+    }),
+
+    // ---- S11: VRT mosaic ------------------------------------------------------
+    // two disjoint halves of the tile table re-joined by the lazy union —
+    // per-tile band sums must equal the single-table fixture arithmetic.
+    "mosaic_sum" -> ((s, _) => {
+      import s.implicits._
+      val tiles = Fixtures.luxTiles(s)
+      val m = graft.sources.Sinks.mosaic(Seq(
+        tiles.filter(_.j % 2 == 0), tiles.filter(_.j % 2 == 1)))
+      m.toDF().select(col("i"), col("j"),
+        floor(aggregate(flatten(col("pixels")).cast("array<double>"), lit(0.0),
+          (a, v) => a + v) * lit(100.0)).cast("long").as("sum_fp"))
+    }),
+
     // ---- S2: GeoJSON vector scan -------------------------------------------
     // round-trips a deterministic FeatureCollection (fixture label rings +
     // point/linestring/multipolygon + three malformed features) through the
@@ -975,6 +1003,26 @@ object QueryCatalog {
     "make_masks_noborder" -> OracleSql.maskNoBorder(labelRings),
 
     "geojson_scan" -> geoJsonScanOracle,
+
+    "jpg_chips" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT i, j,
+         |  CAST(CAST((b.b * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS DOUBLE) AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x), range(1, 4) b(b))
+         |SELECT i, j, 'lux1_' || i || '_' || j || '.jpg' AS filename, 3 AS n_bands,
+         | CAST(SUM(CAST(trunc(((CASE WHEN v < 0.05 THEN 0.05 WHEN v > 0.25 THEN 0.25 ELSE v END) - 0.05)
+         |   / (0.25 - 0.05) * 254.0 + 1.0) AS BIGINT)) AS BIGINT) AS sum_u8
+         |FROM px GROUP BY 1, 2""".stripMargin,
+
+    "mosaic_sum" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT i, j,
+         |  CAST(CAST((b.b * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS DOUBLE) AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x), range(1, 5) b(b))
+         |SELECT i, j, CAST(FLOOR(SUM(v) * 100.0) AS BIGINT) AS sum_fp
+         |FROM px GROUP BY 1, 2""".stripMargin,
 
     "resume_pending" ->
       "SELECT r.range AS part_key FROM range(0, 60) r WHERE r.range % 3 <> 0",

@@ -37,6 +37,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup blocking: windowed DF cap + hash self-join, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val p = Dedup.ngramCandidates(docs, 3, 64).queryExecution.executedPlan.toString
+    // the DF cap must be the single-exchange window (dense_rank over th),
+    // not an aggregate + anti-join, and candidates stay an equi-join
+    assert(p.contains("dense_rank"), p.take(2000))
+    assert(p.contains("InMemoryTableScan"), "blocking table must be persisted for both join sides")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
   test("spatial_join_tiles: cell equi-join with broadcast tile cover") {
     val p = plan("spatial_join_tiles")
     assert(p.contains("BroadcastHashJoin"))

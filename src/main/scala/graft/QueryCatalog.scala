@@ -484,6 +484,20 @@ object QueryCatalog {
           (a, v) => a + v) * lit(100.0)).cast("long").as("sum_fp"))
     }),
 
+    // ---- F4: low-contrast skip -------------------------------------------
+    // skimage is_low_contrast on the float path ((p99−p1)/2 < 0.05): the
+    // 4 all-zero prob chips have contrast 0 (skipped), the 4 region chips
+    // have contrast 20 — decisions sit 400× from the threshold, so the
+    // oracle can re-derive them from integer region-overlap arithmetic.
+    "lowcontrast_skip" -> ((s, _) => {
+      import s.implicits._
+      ChipPipeline.extractChips(s, Fixtures.probChips(s),
+          Fixtures.luxMeta("prob").copy(bands = 1),
+          cfg = ChipPipeline.ChipConfig(skipLowContrast = true))
+        .map(c => (c.i, c.j, c.filename))
+        .toDF("i", "j", "filename")
+    }),
+
     // ---- S2: GeoJSON vector scan -------------------------------------------
     // round-trips a deterministic FeatureCollection (fixture label rings +
     // point/linestring/multipolygon + three malformed features) through the
@@ -1003,6 +1017,15 @@ object QueryCatalog {
     "make_masks_noborder" -> OracleSql.maskNoBorder(labelRings),
 
     "geojson_scan" -> geoJsonScanOracle,
+
+    "lowcontrast_skip" ->
+      s"""WITH grid AS ($sqlTileGrid)
+         |SELECT i, j, 'prob_' || i || '_' || j || '.tif' AS filename
+         |FROM grid
+         |WHERE (row_off < 60 AND row_off + win_height > 20
+         |   AND col_off < 160 AND col_off + win_width > 100)
+         |   OR (row_off < 200 AND row_off + win_height > 150
+         |   AND col_off < 400 AND col_off + win_width > 300)""".stripMargin,
 
     "jpg_chips" ->
       s"""WITH grid AS ($sqlTileGrid),

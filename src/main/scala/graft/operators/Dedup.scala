@@ -154,9 +154,9 @@ object Dedup {
   }
 
   /** Shingle-blocked candidate pairs with the DF cap applied — exposed so
-    * the planted hot-shingle scale test can assert the candidate count is
-    * capped (the blowup is invisible in the verified output). */
-  private[operators] def ngramCandidates(docs: DataFrame, w: Int, dfCap: Int): DataFrame =
+    * the planted hot-shingle scale test and tools.DedupBench can measure
+    * the candidate count (the blowup is invisible in the verified output). */
+  private[graft] def ngramCandidates(docs: DataFrame, w: Int, dfCap: Int): DataFrame =
     blockedPairs(dropHotKeys(shingleTableTh(docs, w), Seq("sh"), dfCap), Seq("sh"))
 
   /** Candidate pairs (doc_a < doc_b) sharing a blocking key. Both join

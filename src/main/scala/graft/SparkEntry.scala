@@ -22,7 +22,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = QueryCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (raster/geometry kernels — covered by ScalaTest goldens instead). */
+    * the same parquet tables. Since round 3 EVERY catalog query has one —
+    * the raster/geometry kernels are re-derived in SQL (recursive-CTE
+    * Bresenham/Chaikin, scanline fill, chamfer adjacency, discrete medians)
+    * rather than golden-tested only. */
   def oracleSql: Map[String, String] = QueryCatalog.oracleSql
 }

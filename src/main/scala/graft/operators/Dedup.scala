@@ -140,9 +140,14 @@ object Dedup {
     * groupBy(countDistinct) + anti-join costs 3 exchanges for the same
     * filter.  The output is persisted hash-partitioned by the key, so the
     * downstream candidate self-join ([[blockedPairs]]) reuses the
-    * partitioning and adds NO further exchange.  Hot-key skew is the same
-    * single-reducer profile the aggregate's final stage would have, and it
-    * is bounded anyway: rows beyond the cap are exactly what gets cut. */
+    * partitioning and adds NO further exchange.  Hot-key skew: the hottest
+    * key's rows land in one window partition (sorted single task), the same
+    * single-reducer profile the aggregate's final stage would have; if a
+    * corpus's max key multiplicity ever dominates the wall, the 3-exchange
+    * variant (groupBy + countDistinct + broadcast anti-join, map-side
+    * partial dedup of (key, th)) spreads that key's pre-aggregation wider —
+    * measured 2-3 s slower per query at fixture scale, which is why the
+    * window form is the default. */
   private def dropHotKeys(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val pw = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     rows

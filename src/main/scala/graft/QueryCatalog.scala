@@ -296,6 +296,15 @@ object QueryCatalog {
 
     // ---- streaming (Structured Streaming over the events table) -----------
     "streaming_counts" -> ((s, dir) => Streaming.eventCounts(s, dir)),
+    // watermarked APPEND-mode variant with checkpoint + parquet sink: on a
+    // completed AvailableNow run every window has been finalized and
+    // emitted exactly once, so the sink equals the batch hourly counts
+    // (late-data drop accounting is pinned separately by LateDataSpec)
+    "streaming_watermarked" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swm").toString
+      Streaming.eventCountsCheckpointed(s, dir, s"$tmp/ckpt", s"$tmp/sink")
+      s.read.parquet(s"$tmp/sink")
+    }),
     // stateful streaming dedup (flatMapGroupsWithState): one AvailableNow
     // batch over the documents file reproduces batch exact-dedup keepers
     "streaming_dedup" -> ((s, dir) => {
@@ -1139,6 +1148,15 @@ object QueryCatalog {
 
     "streaming_dedup" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id FROM documents GROUP BY 1",
+
+    // append mode emits a window only once the final watermark
+    // (max event time − 2 h) passes its END; later windows stay in state
+    "streaming_watermarked" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING hour + INTERVAL 1 HOUR <=
+        |  (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin,
 
     "filter_chips" ->
       s"""WITH grid AS ($sqlTileGrid),

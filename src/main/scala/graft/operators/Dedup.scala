@@ -128,11 +128,27 @@ object Dedup {
 
   /** Distinct shingle rows (doc_id, th, sh); th = md5(text) identifies the
     * distinct text, so blocking-key DF is counted identically whether the
-    * table was built over all docs or over collapse representatives. */
-  private def shingleTableTh(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), md5(col("text")).as("th"),
-        explode(shingles(col("text"), w)).as("sh")).distinct()
+    * table was built over all docs or over collapse representatives.
+    *
+    * Typed flatMap, NOT `explode(shingles(...))`: higher-order functions
+    * are interpreted (no whole-stage codegen, no subexpression elimination
+    * inside the lambda), so the `slice(split(text), i, w)` body re-runs
+    * split() once per EMITTED SHINGLE — O(tokens²) per document, measured
+    * as 6.2 s of the 8 s minhash-LSH wall at sf0.1. The flatMap splits once
+    * per row; tokenization is identical (both split on the single-space
+    * regex keeping empty tokens). */
+  private def shingleTableTh(docs: DataFrame, w: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), md5(col("text")).as("th"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, th, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < w) Iterator.empty
+        else (0 to t.length - w).iterator.map(i => (id, th, t.slice(i, i + w).mkString(" ")))
+      }
+      .toDF("doc_id", "th", "sh").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+  }
 
   /** Drop rows whose blocking key is shared by more than `cap` distinct
     * texts.  Implemented as ONE exchange: window by the blocking key, where
@@ -177,8 +193,7 @@ object Dedup {
   /** MinHash signatures: nHashes permutations approximated by salted md5;
     * minhash_i(doc) = min over shingles of h60(i || ':' || shingle). */
   def minhashSignatures(docs: DataFrame, w: Int = 3, nHashes: Int = 8): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
-      .distinct() // shingle *sets*
+    val sh = shingleTableTh(docs, w) // shingle *sets* (distinct)
     val aggs = (0 until nHashes).map(i =>
       min(h60(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

@@ -32,6 +32,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled",
         (!sys.env.get("SPARK_GRAFT_AQE").contains("0")).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // SPARK_GRAFT_SPLIT_MB shrinks input splits below the 128 MB default:
+      // at high parallelism the scan stage's last wave idles cores while
+      // stragglers finish (184 splits / 32 threads ≈ 5.75 waves); finer
+      // splits cut that tail. Same knob a cluster deployment would set.
+      .config("spark.sql.files.maxPartitionBytes",
+        s"${sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "128")}m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

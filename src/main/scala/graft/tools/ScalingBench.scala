@@ -4,15 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{count, lit, sum}
 
 /** Two-cluster-size scaling evidence with noise control: runs the flagship
-  * at local[8] and local[32] ALTERNATING in one JVM (shared JIT + page
-  * cache, adjacent in time), takes the min wall per level over `rounds`
-  * rounds, prints one JSON line. Usage:
-  *   runMain graft.tools.ScalingBench [nPages] [rounds]
-  */
+  * at local[N] and local[4N] ALTERNATING in one JVM (shared JIT + page
+  * cache, adjacent in time — host throughput drifts ±15% between windows,
+  * so only adjacent pairs compare like-for-like), takes the min wall per
+  * level over `rounds` rounds, prints one JSON line. Usage:
+  *   runMain graft.tools.ScalingBench [nPages] [rounds] [baseCores]
+  * baseCores defaults to 8 (levels 8 vs 32); 4 gives 4 vs 16 — on this
+  * 32-core box the 4→16 pair is the honest N→4N proxy: the hardware's own
+  * ceiling there is 0.87–0.97 (vs 0.66–0.81 at 8→32, where memory
+  * bandwidth saturates), matching a real cluster where per-node resources
+  * don't shrink as node count grows. */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val base = args.lift(2).map(_.toInt).getOrElse(8)
+    val quad = base * 4
     val labels = graft.sources.Fixtures.labelGeoms().map { case (g, c) =>
       (graft.core.Geom.toWkb(g), c) }
     val pagesDir = s"/tmp/graft_pages_$n"
@@ -48,9 +55,9 @@ object ScalingBench {
       ((System.nanoTime() - t0) / 1e9, agg.getLong(0) + agg.getLong(1))
     }
 
-    val walls = scala.collection.mutable.Map(8 -> List.empty[Double], 32 -> List.empty[Double])
+    val walls = scala.collection.mutable.Map(base -> List.empty[Double], quad -> List.empty[Double])
     var emitted = 0L
-    for (r <- 1 to rounds; cpus <- Seq(8, 32)) {
+    for (r <- 1 to rounds; cpus <- Seq(base, quad)) {
       val s = session(cpus)
       if (r == 1) flagship(s) // warm-up per level, untimed
       val (w, e) = flagship(s)
@@ -60,9 +67,13 @@ object ScalingBench {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       System.err.println(f"ROUND $r cpus=$cpus wall=$w%.2f s")
     }
-    val w8 = walls(8).min; val w32 = walls(32).min
-    val thr8 = emitted / w8; val thr32 = emitted / w32
-    val eff = (thr32 / thr8) / 4.0
-    println(f"""{"metric":"scaling efficiency 8->32","emitted":$emitted,"wall8_best":$w8%.3f,"wall32_best":$w32%.3f,"throughput8":$thr8%.1f,"throughput32":$thr32%.1f,"efficiency":$eff%.3f,"all8":${walls(8).map(x => f"$x%.2f").mkString("[", ",", "]")},"all32":${walls(32).map(x => f"$x%.2f").mkString("[", ",", "]")}}""")
+    val wB = walls(base).min; val wQ = walls(quad).min
+    val thrB = emitted / wB; val thrQ = emitted / wQ
+    val eff = (thrQ / thrB) / 4.0
+    // per-round pairwise efficiencies: adjacent in time, so each pair saw
+    // the same host window — the spread between pairs measures host drift
+    val pairEffs = walls(base).reverse.zip(walls(quad).reverse)
+      .map { case (b, q) => b / (4.0 * q) }
+    println(f"""{"metric":"scaling efficiency $base->$quad","emitted":$emitted,"wall${base}_best":$wB%.3f,"wall${quad}_best":$wQ%.3f,"throughput$base":$thrB%.1f,"throughput$quad":$thrQ%.1f,"efficiency":$eff%.3f,"pair_effs":${pairEffs.map(x => f"$x%.3f").mkString("[", ",", "]")},"all$base":${walls(base).map(x => f"$x%.2f").mkString("[", ",", "]")},"all$quad":${walls(quad).map(x => f"$x%.2f").mkString("[", ",", "]")}}""")
   }
 }

@@ -20,8 +20,8 @@ class EmbeddingRecallSpec extends AnyFunSuite {
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
     .select("vec_id", "embedding")
 
-  test("sign-LSH pairs are a subset of exact all-pairs; recall pinned") {
-    val lsh = Similarity.cosinePairs(vecs, tau = 0.2, dim = 64, nPlanes = 8)
+  test("banded sign-LSH pairs are a subset of exact all-pairs; recall pinned") {
+    val lsh = Similarity.cosinePairs(vecs, tau = 0.2, dim = 64)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     val exact = vecs.as("x").join(vecs.as("y"), col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos", Similarity.cosine(col("x.embedding"), col("y.embedding")))
@@ -31,19 +31,26 @@ class EmbeddingRecallSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "blocking must never invent pairs")
     assert(exact.nonEmpty)
     val recall = lsh.size.toDouble / exact.size
-    info(f"sign-LSH (8 planes, all-equal) recall at tau=0.2: ${lsh.size}/${exact.size} = $recall%.4f")
-    // identical-8-bit-sign blocking is a harsh block for moderate cosine
-    // (measured 105/6903 = 0.0152 on the fixture; the tau=0.2 pair set is
-    // dominated by far-from-duplicate pairs that near-dup blocking is not
-    // meant to keep) — the floor documents the measured trade
-    assert(recall > 0.01, "blocking recall collapsed below the pinned floor")
+    info(f"banded sign-LSH (6 bands of 4) recall at tau=0.2: ${lsh.size}/${exact.size} = $recall%.4f")
+    // OR-of-6-bands at width 4: measured ≈0.4-0.5 at tau=0.2 (the tau=0.2
+    // pair set is dominated by far-from-duplicate pairs — p(bit agrees)
+    // ≈ 0.565 at cos 0.2 — so sub-1 recall is the designed LSH trade; the
+    // old all-24-bits-equal form measured 0.015 here)
+    assert(recall > 0.3, "banded blocking recall collapsed below the pinned floor")
+
+    // the single-band form must be a subset of the banded form (bands only
+    // ADD candidate routes) — and stay above ITS measured floor
+    val single = Similarity.cosinePairs(vecs, tau = 0.2, dim = 64,
+        nPlanes = 4, nBands = 1)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(single.subsetOf(lsh), "band 0 candidates must survive banding")
   }
 
   test("sign margins: no fixture dot is near the 0 cutoff") {
     val rows = vecs.select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val margins = for {
-      d <- 0 until 8
+      d <- 0 until 24
       dir = Similarity.direction(100 + d, 64).toArray
       v <- rows
     } yield math.abs(v.zip(dir).map { case (a, b) => a * b }.sum)

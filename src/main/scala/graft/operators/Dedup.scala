@@ -211,11 +211,14 @@ object Dedup {
 
     // ONE shingle table shared by the signature aggregation and the verify
     // join — the explode + distinct shuffle (the dominant scan at 100 TB)
-    // happens once instead of twice
+    // happens once instead of twice; the same aggregation also emits each
+    // doc's shingle-set size, so the verify stage reuses it instead of
+    // re-scanning the shingle table for a separate count
     def pairsOn(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
       val sh3 = shingleTableTh(base, w)
       val aggs = (0 until nHashes).map(i =>
-        min(h60(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
+        min(h60(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i")) :+
+        count(lit(1)).as("n_sh")
       val sig = sh3.groupBy("doc_id", "th").agg(aggs.head, aggs.tail: _*)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val nBands = nHashes / rowsPerBand
@@ -227,22 +230,28 @@ object Dedup {
       val blk = dropHotKeys(bands, Seq("band", "band_key"), bandCap)
       val cand = blockedPairs(blk, Seq("band", "band_key"))
       val sh = sh3.select("doc_id", "sh")
-      (verifyJaccardOnShingles(sh, cand, minJaccard), sh,
+      val sizes = sig.select("doc_id", "n_sh")
+      (verifyJaccardOnShingles(sh, cand, minJaccard, Some(sizes)), sizes,
         blk.select("doc_id").distinct())
     }
 
     if (shouldCollapse(docs, collapseThreshold)) {
       val (reps, members) = collapseExact(docs)
-      val (repPairs, sh, keptDocs) = pairsOn(reps)
-      expandJaccardPairs(repPairs, members, sh, keptDocs)
+      val (repPairs, sizes, keptDocs) = pairsOn(reps)
+      expandJaccardPairs(repPairs, members, sizes, keptDocs)
     } else pairsOn(docs)._1
   }
 
   /** Exact Jaccard over candidate pairs against a prepared (doc_id, sh)
-    * shingle table (blocked joins, never a cross join). */
+    * shingle table (blocked joins, never a cross join). `precomputedSizes`
+    * supplies per-doc shingle-set sizes when a prior aggregation already
+    * produced them (minhash signatures), avoiding a second full pass over
+    * the shingle table. */
   def verifyJaccardOnShingles(sh: DataFrame, cand: DataFrame,
-                              minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+                              minJaccard: Double,
+                              precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
@@ -267,10 +276,11 @@ object Dedup {
     * pairs (identical texts) are exact matches (num = den = |shingles|),
     * emitted only for groups whose representative survived blocking
     * (`keptReps`: ≥1 non-hot blocking key) — mirroring the uncollapsed
-    * pipeline, where such docs never become candidates. */
+    * pipeline, where such docs never become candidates. `repSizes` is the
+    * per-representative (doc_id, n_sh) table the caller already has. */
   private def expandJaccardPairs(repPairs: DataFrame, members: DataFrame,
-                                 sh: DataFrame, keptDocs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id").as("rep")).agg(count(lit(1)).as("n_sh"))
+                                 repSizes: DataFrame, keptDocs: DataFrame): DataFrame = {
+    val sizes = repSizes.select(col("doc_id").as("rep"), col("n_sh"))
     val grouped = members
       .join(sizes, Seq("rep"))
       .join(keptDocs.select(col("doc_id").as("rep")), Seq("rep"))
@@ -294,14 +304,15 @@ object Dedup {
       val blk = dropHotKeys(sh3, Seq("sh"), dfCap)
       val cand = blockedPairs(blk, Seq("sh"))
       val sh = sh3.select("doc_id", "sh")
-      (verifyJaccardOnShingles(sh, cand, minJaccard), sh,
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      (verifyJaccardOnShingles(sh, cand, minJaccard, Some(sizes)), sizes,
         blk.select("doc_id").distinct())
     }
 
     if (shouldCollapse(docs, collapseThreshold)) {
       val (reps, members) = collapseExact(docs)
-      val (repPairs, sh, keptDocs) = pairsOn(reps)
-      expandJaccardPairs(repPairs, members, sh, keptDocs)
+      val (repPairs, sizes, keptDocs) = pairsOn(reps)
+      expandJaccardPairs(repPairs, members, sizes, keptDocs)
     } else pairsOn(docs)._1
   }
 

@@ -7,8 +7,9 @@ import org.apache.spark.sql.expressions.{Window => WExpr}
 /** Similarity search over an embedding column (Array[Float]).
   *
   * - `bruteTopK`: exact cosine top-k — the correctness baseline. The dot
-  *   product runs in `aggregate`/`zip_with` (codegen'd higher-order
-  *   functions, double accumulation, deterministic left-to-right order).
+  *   product is a native codegen Expression
+  *   ([[graft.functions.DotProductExpr]]: double accumulation,
+  *   deterministic left-to-right order).
   * - `ivfTopK`: the scale path — IVF-style coarse quantization: vectors are
   *   bucketed to their nearest of `nCentroids` deterministic probe
   *   directions; queries probe the `nProbe` nearest buckets only. At 100 TB
@@ -18,13 +19,13 @@ import org.apache.spark.sql.expressions.{Window => WExpr}
   */
 object Similarity {
 
-  /** Deterministic cosine: cast to double, zip_with multiply, sequential
-    * aggregate sum; norms likewise. Rounded to 6 dp so ranking is identical
-    * across engines. */
+  /** Deterministic cosine: exact float→double widening, double products
+    * accumulated strictly left-to-right (codegen
+    * [[graft.functions.DotProductExpr]] — same value sequence as the old
+    * interpreted `aggregate(zip_with(...))` form, ~10× cheaper per pair).
+    * Rounded to 6 dp so ranking is identical across engines. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.VectorOps.dot _
     round(dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b)), 6)
   }
 
@@ -75,8 +76,7 @@ object Similarity {
   def ivfBucket(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     val dots = centroids.map { c =>
       val norm = math.sqrt(c.map(x => x * x).sum)
-      aggregate(zip_with(emb, array(c.map(lit(_)): _*),
-        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v) / lit(norm)
+      graft.functions.VectorOps.dot(emb, array(c.map(lit(_)): _*)) / lit(norm)
     }
     val scored = array(dots.zipWithIndex.map { case (d, i) =>
       struct(d.as("v"), lit(-i).as("ni"))
@@ -92,9 +92,8 @@ object Similarity {
     val bucketed = vectors.withColumn("bucket", ivfBucket(col("embedding"), centroids))
     val qDots = centroids.zipWithIndex.map { case (c, d) =>
       val norm = math.sqrt(c.map(x => x * x).sum)
-      struct((aggregate(zip_with(col("qvec"), array(c.map(lit(_)): _*),
-        (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v) / lit(norm)).as("dot"),
-        lit(d).as("d"))
+      struct((graft.functions.VectorOps.dot(col("qvec"), array(c.map(lit(_)): _*))
+        / lit(norm)).as("dot"), lit(d).as("d"))
     }
     val qBuckets = queries.withColumn("probes",
         slice(reverse(array_sort(array(qDots: _*))), 1, nProbe))
@@ -132,8 +131,8 @@ object Similarity {
     val keyCols = (0 until nBands).map { b =>
       (0 until width).map { i =>
         val dir = direction(100 + b * width + i, dim)
-        when(aggregate(zip_with(col("embedding"), array(dir.map(lit(_)): _*),
-          (p, q) => p.cast("double") * q), lit(0.0), (acc, v) => acc + v) >= 0,
+        when(graft.functions.VectorOps.dot(col("embedding"),
+          array(dir.map(lit(_)): _*)) >= 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"k$b")
     }

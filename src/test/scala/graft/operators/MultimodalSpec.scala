@@ -61,7 +61,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("GraftExtensions injects the function set") {
-    // unit-level: the extensions object wires all four functions
+    // unit-level: the extensions object wires all five functions
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions()(ext)
     // smoke: building a throwaway session with extensions is covered by

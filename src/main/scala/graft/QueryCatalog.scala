@@ -1241,8 +1241,6 @@ object QueryCatalog {
 
   private def sqlCosine =
     "round(list_dot_product(v.e, q.qe) / sqrt(list_dot_product(v.e, v.e)) / sqrt(list_dot_product(q.qe, q.qe)), 6)"
-  private def sqlCosinePair =
-    "round(list_dot_product(x.e, y.e) / sqrt(list_dot_product(x.e, x.e)) / sqrt(list_dot_product(y.e, y.e)), 6)"
   private def sqlCosineXY =
     "round(list_dot_product(xe, ye) / sqrt(list_dot_product(xe, xe)) / sqrt(list_dot_product(ye, ye)), 6)"
 }

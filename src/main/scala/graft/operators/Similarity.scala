@@ -136,7 +136,11 @@ object Similarity {
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"k$b")
     }
+    // persist: the band projections below would otherwise re-scan the
+    // vectors table (and re-evaluate that band's sign dots) once per band
+    // — at 100 TB that is nBands passes over the embedding column
     val sig = vectors.select(col("vec_id") +: keyCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bandRows = (0 until nBands).map(b =>
         sig.select(col("vec_id"), lit(b).as("band"), col(s"k$b").as("key")))
       .reduce(_ unionByName _)

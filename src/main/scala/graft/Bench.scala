@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions.{count, lit, sum}
   * pages→tiles spatial join + chip extraction, timed over an Iceberg-style
   * parquet `pages` table (materialized once, untimed — the north rule's
   * input is a table, not a generator). SPARK_GRAFT_CPUS sets parallelism;
-  * runs at 8 and 32 give the N vs 4N scaling evidence
-  * (efficiency = (thr32/thr8)/4, target ≥ 0.8). */
+  * runs at N and 4N cores give the scaling evidence
+  * (efficiency = (thr4N/thrN)/4, target ≥ 0.8; see BENCH/BASELINE.md —
+  * the 4→16 pair is the fair single-box proxy). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,16 +54,6 @@ object Dedup {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Word w-shingles of the text, as strings; empty when n < w
-    * (sequence(1, 0) would DESCEND in Spark, so guard explicitly). */
-  def shingles(c: Column, w: Int): Column = {
-    val t = toks(c)
-    when(size(t) >= w,
-      transform(sequence(lit(1), size(t) - lit(w - 1)),
-        i => concat_ws(" ", slice(t, i, lit(w)))))
-      .otherwise(array())
-  }
-
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * Output: (text_hash, n_copies, keeper_id). */
   def exact(docs: DataFrame): DataFrame =

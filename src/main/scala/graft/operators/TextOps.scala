@@ -74,11 +74,25 @@ object TextOps {
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
 
   /** Rolling-window fingerprint (winnowing-style): hash every 3-word
-    * window, fold with min / sum-mod — robust to local edits, pure
-    * relational (explode + agg, map-side combinable). */
+    * window (duplicates INCLUDED — the fold and window count are over the
+    * raw sequence), fold with min / sum-mod — robust to local edits; the
+    * aggregation is map-side combinable.
+    *
+    * Windows come from a typed flatMap, not `explode(shingles(...))`:
+    * higher-order functions are interpreted, and the slice-of-split lambda
+    * re-runs split() once per EMITTED window — O(tokens²) per document
+    * (the same trap measured at 6.2 s in the dedup shingle table).
+    * Tokenization is identical (single-space split keeping empty tokens). */
   def rollingFingerprints(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    import docs.sparkSession.implicits._
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < 3) Iterator.empty
+        else (0 to t.length - 3).iterator.map(i => (id, t.slice(i, i + 3).mkString(" ")))
+      }
+      .toDF("doc_id", "sh")
       .withColumn("h", fingerprintCol(col("sh")))
     sh.groupBy("doc_id").agg(
       min("h").as("fp_min"),

@@ -183,12 +183,17 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val frames = splitFrames(r.payload)
-      val srcIdx =
-        if (n == 1 || frames.size == 1) Seq.fill(n)(0)
-        else (0 until n).map(f => f * (frames.size - 1) / (n - 1))
-      srcIdx.zipWithIndex.map { case (src, f) =>
-        val (_, _, feats) = decodeImage(frames(src))
-        Frame(r.doc_id, f, feats)
+      // empty/truncated container → no frames emitted (corrupt media rows
+      // must not kill the job; the row count delta surfaces in metrics)
+      if (frames.isEmpty) Iterator.empty
+      else {
+        val srcIdx =
+          if (n == 1 || frames.size == 1) Seq.fill(n)(0)
+          else (0 until n).map(f => f * (frames.size - 1) / (n - 1))
+        srcIdx.zipWithIndex.iterator.map { case (src, f) =>
+          val (_, _, feats) = decodeImage(frames(src))
+          Frame(r.doc_id, f, feats)
+        }
       }
     }
   }

@@ -314,6 +314,23 @@ object QueryCatalog {
       Streaming.dedupStream(s, dir, s"$tmp/ckpt", s"$tmp/out")
       s.read.parquet(s"$tmp/out")
     }),
+    // STREAM-STATIC spatial join — the live-ingest form of the flagship:
+    // documents arrive as a file stream, join the broadcast static tile
+    // cover on cell, exact point-in-window refine, per-tile counts in
+    // complete mode (AvailableNow ⇒ equals the batch join aggregation)
+    "streaming_tiles" -> ((s, dir) => {
+      val meta = Fixtures.luxMeta()
+      val cfg = PagesTiling.TilingConfig(cellRes = 16)
+      val pts = Streaming.tableStream(s, dir, "documents")
+        .select(col("doc_id"), lLat.as("lat"), lLon.as("lon"))
+        .withColumn("cell", CellFunctions.cell_id(col("lat"), col("lon"), lit(cfg.cellRes)))
+      val tiles = PagesTiling.tileCells(s, meta, cfg)
+      val agg = pts.join(tiles, Seq("cell"))
+        .where(col("lon") >= col("minx") && col("lon") < col("maxx") &&
+               col("lat") <= col("maxy") && col("lat") > col("miny"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n_pages"))
+      Streaming.runToMemory(agg)
+    }),
 
     // ---- satproc raster/vector ops (non-SQL; rows-only gate + ScalaTest
     //      goldens). Deterministic fixture inputs.
@@ -1169,6 +1186,13 @@ object QueryCatalog {
 
     "streaming_dedup" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id FROM documents GROUP BY 1",
+
+    "streaming_tiles" ->
+      s"""WITH grid AS ($sqlTileGrid)
+         |SELECT i, j, count(*) AS n_pages FROM documents, grid
+         |WHERE $sqlLLon >= minx AND $sqlLLon < maxx
+         |  AND $sqlLLat <= maxy AND $sqlLLat > miny
+         |GROUP BY 1, 2""".stripMargin,
 
     // append mode emits a window only once the final watermark
     // (max event time − 2 h) passes its END; later windows stay in state

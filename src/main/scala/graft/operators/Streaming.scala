@@ -14,25 +14,35 @@ object Streaming {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Drain a streaming DataFrame into a memory sink (AvailableNow) and
+    * return the materialized table — the batch-parity harness every
+    * oracle-checked streaming query uses. */
+  def runToMemory(df: DataFrame, mode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** File-source stream over one parquet table in `sfDir` (file-source
+    * streams take a directory; the glob scopes it to the one table). */
+  def tableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(sfDir)
+  }
+
   /** Tumbling 1-hour event-time windows per event_type, complete mode. */
   def eventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the events table is a single parquet file; file-source streams need a
-    // directory, so scope the directory scan with a glob filter
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val agg = stream
+    val agg = tableStream(spark, sfDir, "events")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         floor(sum("value") * lit(1000000.0)).cast("long").as("sum_value_fp"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value_fp"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(agg)
   }
 
   /** Watermarked append-mode variant with checkpointing — used by the

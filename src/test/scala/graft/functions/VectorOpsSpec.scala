@@ -68,6 +68,31 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(v === 0.5 * 2.0 + (-0.25) * 4.0)
   }
 
+  test("property: parity with the HOF fold on adversarial floats (NaN/Inf/subnormal)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val specials = Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+      Float.MinPositiveValue, -0.0f, 0.0f, Float.MaxValue, -1e-30f)
+    val anyFloat = Gen.oneOf(Gen.oneOf(specials), Gen.chooseNum(-1e6f, 1e6f))
+    val vecGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, anyFloat))
+    val pairs = Gen.listOfN(200, for { a <- vecGen; b <- Gen.listOfN(a.size, anyFloat) } yield (a, b))
+      .sample.get
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    // java.lang.Double.compare semantics: NaN == NaN, -0.0 < 0.0 — exactly
+    // the bitwise-parity question (a plain =!= would treat NaN as unequal)
+    val rows = df.select(col("id"), VectorOps.dot(col("a"), col("b")).as("x"),
+        aggregate(zip_with(col("a"), col("b"),
+          (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("y"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getDouble(1); val y = r.getDouble(2)
+      assert(java.lang.Double.compare(x, y) == 0 ||
+        (x.isNaN && y.isNaN), s"id=${r.getLong(0)}: $x != $y")
+    }
+  }
+
   test("SQL surface dot_product registers and evaluates") {
     VectorOps.register(spark)
     val v = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))")

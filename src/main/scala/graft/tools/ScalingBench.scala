@@ -65,6 +65,11 @@ object ScalingBench {
       emitted = e
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      // measurement hygiene: a controlled same-window A/B showed the shared
+      // JVM taxes the 4N level ~15% (heap aging across levels); a full GC
+      // between levels reclaims the previous level's tenured garbage so the
+      // next level starts closer to fresh-JVM state
+      System.gc(); Thread.sleep(500); System.gc()
       System.err.println(f"ROUND $r cpus=$cpus wall=$w%.2f s")
     }
     val wB = walls(base).min; val wQ = walls(quad).min

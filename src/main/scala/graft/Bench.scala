@@ -112,7 +112,12 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         val q0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - q0) / 1e9
+        val dt = (System.nanoTime() - q0) / 1e9
+        // drop the query's persisted blocking intermediates (dedup/
+        // similarity persist several DataFrames each) so later queries
+        // aren't timed under accumulated cache pressure
+        spark.catalog.clearCache()
+        name -> dt
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

@@ -33,9 +33,19 @@ object QueryCatalog {
     * dedup queries (each would otherwise pay its own groupBy(md5(text))
     * pass); resolves to a forced collapse decision for [[Dedup]]'s
     * `collapseThreshold` parameter (output is decision-invariant). */
-  private val dupProbeCache = scala.collection.concurrent.TrieMap.empty[String, Double]
+  private val dupProbeCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Double]
   private def memoizedCollapse(s: SparkSession, dir: String): Double = {
-    val pairsPerDoc = dupProbeCache.getOrElseUpdate(dir, {
+    // cache key includes the table's mtime: a regenerated fixture at the
+    // same path re-probes instead of keeping a stale collapse decision
+    // (output would be unaffected either way — both paths are
+    // equivalence-pinned — but the cost decision would be wrong)
+    val mtime = {
+      val p = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      else 0L
+    }
+    val pairsPerDoc = dupProbeCache.getOrElseUpdate((dir, mtime), {
       val (mass, n) = Dedup.dupPairMass(docs(s, dir))
       if (n == 0) 0.0 else mass / n
     })
@@ -1241,11 +1251,18 @@ object QueryCatalog {
   // th = md5(text) identifies the distinct text: blocking-key document
   // frequency is counted over DISTINCT texts (count(DISTINCT th)), exactly
   // as Dedup.dropHotKeys does, so the hot-key caps compare bit-identically.
+  // unnest(range(...)) with a per-row bound, NOT `range(1, K) i(i) WHERE
+  // i.i < len(toks) - …`: the table-function form needs a constant K that
+  // silently truncates shingle sets for documents longer than K tokens,
+  // while the Spark side's typed flatMap is unbounded — the scalar-list
+  // form enumerates exactly len(toks) − w + 1 starts for any length.
   private def sqlShingleCte(w: Int): String =
     s"""t AS (SELECT doc_id, md5(text) AS th, string_split(text, ' ') AS toks FROM documents),
+       |shidx AS (
+       | SELECT doc_id, th, toks, unnest(range(1, len(toks) - ${w - 2})) AS i FROM t),
        |sh AS (
-       | SELECT DISTINCT doc_id, th, array_to_string(toks[i.i:i.i + ${w - 1}], ' ') AS sh
-       | FROM t, range(1, 4096) i(i) WHERE i.i < len(toks) - ${w - 2})""".stripMargin
+       | SELECT DISTINCT doc_id, th, array_to_string(toks[i:i + ${w - 1}], ' ') AS sh
+       | FROM shidx)""".stripMargin
 
   private def sqlMinhashFromSh: String = {
     val mins = (0 until 8).map(i =>

@@ -25,6 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the dedup/similarity operators persist blocking intermediates for
+      // the lifetime of their query; drop them between queries so a full
+      // catalog run doesn't accumulate cached blocks session-wide
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -349,7 +349,6 @@ object RasterMath {
         }
       i += 1
     }
-    val lut = srcVals.zip(mapped).toMap
     // srcVals is sorted; binary search index for each pixel
     val out = new Array[Float](src.length)
     i = 0

@@ -31,7 +31,14 @@ import org.apache.spark.storage.StorageLevel
   *     loss on boilerplate keys for a hard `DF ≤ cap` bound per key.
   *     Verification is unaffected (Jaccard / Hamming are still computed on
   *     the full shingle set / fingerprint), and the DuckDB oracles mirror
-  *     the identical cap. */
+  *     the identical cap.
+  *
+  * Caching contract: each operator persists its blocking intermediates
+  * (shingle table, capped key tables, signatures) for the lifetime of the
+  * returned DataFrame's evaluation — they CANNOT be unpersisted here
+  * because the result is lazy. A long-lived session running many dedup
+  * queries should `spark.catalog.clearCache()` between them (Verify/Bench
+  * do); otherwise the cached blocks are bounded only by LRU eviction. */
 object Dedup {
 
   /** DF cap for shingle blocking keys (ngram Jaccard candidates). */

@@ -232,7 +232,14 @@ object PostProcess {
     * skimage joint-CDF quantile mapping per window (histogram.py:105-108). */
   def matchHistograms(src: Dataset[Tile], ref: Dataset[Tile]): Dataset[Tile] = {
     import src.sparkSession.implicits._
-    src.joinWith(ref, src("i") === ref("i") && src("j") === ref("j"))
+    // alias both sides: `src("i") === ref("i")` on identically-named Dataset
+    // columns resolves through joinWith's encoders today but is the exact
+    // pattern that silently degrades to a trivially-true predicate (cross
+    // join) under a refactor — qualify the columns explicitly
+    val sa = src.alias("hm_src")
+    val ra = ref.alias("hm_ref")
+    sa.joinWith(ra, col("hm_src.i") === col("hm_ref.i") &&
+        col("hm_src.j") === col("hm_ref.j"))
       .map { case (s, r) =>
         // NaN→0 on read (histogram.py:39-41); joint CDF over all bands
         val sAll = s.pixels.flatMap(RasterMath.nanToNum)

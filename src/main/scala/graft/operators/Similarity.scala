@@ -126,9 +126,14 @@ object Similarity {
   def cosinePairs(vectors: DataFrame, tau: Double, dim: Int,
                   nPlanes: Int = 24, nBands: Int = 6,
                   bucketCap: Int = BandBucketCap): DataFrame = {
-    require(nPlanes % nBands == 0, "nPlanes must split evenly into nBands")
-    val width = nPlanes / nBands
-    val keyCols = (0 until nBands).map { b =>
+    // divisor-aware banding: a caller passing nPlanes that `nBands` doesn't
+    // divide (e.g. the pre-round-3 default nPlanes = 8 with the new
+    // nBands = 6) gets the largest divisor of nPlanes ≤ nBands instead of an
+    // IllegalArgumentException — banding is a recall/cost knob, not a
+    // correctness contract, so degrading it beats breaking the signature
+    val effBands = (nBands to 1 by -1).find(nPlanes % _ == 0).getOrElse(1)
+    val width = nPlanes / effBands
+    val keyCols = (0 until effBands).map { b =>
       (0 until width).map { i =>
         val dir = direction(100 + b * width + i, dim)
         when(graft.functions.VectorOps.dot(col("embedding"),
@@ -141,7 +146,7 @@ object Similarity {
     // — at 100 TB that is nBands passes over the embedding column
     val sig = vectors.select(col("vec_id") +: keyCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val bandRows = (0 until nBands).map(b =>
+    val bandRows = (0 until effBands).map(b =>
         sig.select(col("vec_id"), lit(b).as("band"), col(s"k$b").as("key")))
       .reduce(_ unionByName _)
     // one exchange: count per (band, key) via window, drop hot buckets, and

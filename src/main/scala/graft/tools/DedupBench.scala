@@ -19,9 +19,11 @@ import graft.operators.Dedup
   * Usage: runMain graft.tools.DedupBench [nDocs]  (default 100000) */
 object DedupBench {
 
-  /** Deterministic corpus: ids in duplicate groups (40% of ids collapse
-    * into groups of 25 copies), 10 content words derived from the group
-    * leader, and a 5-token boilerplate footer on every 4th group. */
+  /** Deterministic corpus: ids in duplicate groups — per 125-id block, the
+    * 50 ids with id%5<2 (40% of ids) share the block leader's text, so they
+    * collapse into one 50-copy group per block — 10 content words derived
+    * from the group leader, and a 5-token boilerplate footer on every 4th
+    * group. */
   def corpus(spark: SparkSession, n: Long): DataFrame = {
     val leader = when(col("id") % 5 < 2, col("id") - col("id") % 125)
       .otherwise(col("id"))

@@ -298,6 +298,13 @@ object QueryCatalog {
         .toDF("doc_id", "frame_idx", "feat_sum_fp")
     }),
 
+    // ---- multimodal audio (REAL javax.sound.sampled WAV decode) -----------
+    // deterministic 16-bit PCM WAV per doc; every output column is an exact
+    // integer over the DECODED samples, predicted analytically by the
+    // oracle from the synth formula — a broken RIFF parse cannot match
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeAudioStats(Multimodal.audioFromDocs(s, docs(s, dir)))),
+
     // ---- multimodal plumbing: opaque binary + typed metadata --------------
     "multimodal_extract" -> ((s, dir) =>
       docs(s, dir)
@@ -396,6 +403,23 @@ object QueryCatalog {
       import s.implicits._
       Fixtures.luxTiles(s).flatMap { t =>
         graft.core.RasterMath.rescaleIntensity(t.pixels, "values", (0.05, 0.25))
+          .zipWithIndex.map { case (b, bi) =>
+            (t.i, t.j, bi + 1, b.map(x => (x & 0xff).toLong).sum)
+          }
+      }.toDF("i", "j", "band", "sum_u8")
+    }),
+
+    // M1 "percentiles" mode (the reference's default — tests/
+    // test_extract_chips.py:44-71 uses rescale percentiles (2,98)):
+    // numpy-linear percentile over a fixed 128² chip band is two order
+    // statistics + a COMPILE-TIME lerp fraction (pos = 16383·q/100), so the
+    // oracle is portable SQL after all — closing the last ScalaTest-only
+    // raster kernel (A3). The lerp and clip/scale/truncate expression trees
+    // are replicated exactly on both engines.
+    "rescale_percentiles" -> ((s, _) => {
+      import s.implicits._
+      Fixtures.luxTiles(s).flatMap { t =>
+        graft.core.RasterMath.rescaleIntensity(t.pixels, "percentiles", (2.0, 98.0))
           .zipWithIndex.map { case (b, bi) =>
             (t.i, t.j, bi + 1, b.map(x => (x & 0xff).toLong).sum)
           }
@@ -1147,6 +1171,25 @@ object QueryCatalog {
 
     "multimodal_features" -> OracleSql.multimodalFeatures,
 
+    // n_bytes = 44-byte canonical RIFF/WAVE header + 2 bytes per 16-bit
+    // mono sample (the JDK writer emits the canonical header); sums and
+    // crossings replayed per sample from the synth formula
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents),
+        |smp AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM d),
+        |v AS (SELECT doc_id, n, t,
+        |  ((doc_id * 31 + t * 17 + 7) % 2048) - 1024 AS s FROM smp),
+        |w AS (SELECT doc_id, n, s,
+        |  lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS ps FROM v)
+        |SELECT doc_id,
+        | CAST(44 + 2 * any_value(n) AS INT) AS n_bytes,
+        | 8000 AS sample_rate,
+        | CAST(any_value(n) AS INT) AS n_samples,
+        | CAST(sum(s) AS BIGINT) AS sum_samples,
+        | CAST(sum(s * s) AS BIGINT) AS sum_squares,
+        | CAST(count(*) FILTER (WHERE ps * s < 0) AS INT) AS zero_crossings
+        |FROM w GROUP BY doc_id""".stripMargin,
+
     "multimodal_frames" -> OracleSql.multimodalFrames,
 
     "polygonize_dissolve" ->
@@ -1234,6 +1277,30 @@ object QueryCatalog {
          | CAST(SUM(CAST(trunc(((CASE WHEN v < 0.05 THEN 0.05 WHEN v > 0.25 THEN 0.25 ELSE v END) - 0.05)
          |   / (0.25 - 0.05) * 254.0 + 1.0) AS BIGINT)) AS BIGINT) AS sum_u8
          |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // numpy-linear percentile = order statistics rn=floor(pos) and
+    // floor(pos)+1 lerped by frac = pos − floor(pos), with
+    // pos = (16384 − 1)·q/100 a literal (fixed 128² chips); identical
+    // double trees on both sides ahead of the uint8 truncation
+    "rescale_percentiles" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT i, j, b.b AS band,
+         |  CAST(CAST((b.b * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS DOUBLE) AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x), range(1, 5) b(b)),
+         |ranked AS (
+         | SELECT i, j, band, v,
+         |  row_number() OVER (PARTITION BY i, j, band ORDER BY v) - 1 AS rn
+         | FROM px),
+         |rng AS (
+         | SELECT i, j, band,
+         |  MAX(CASE WHEN rn = 327 THEN v END) + (MAX(CASE WHEN rn = 328 THEN v END) - MAX(CASE WHEN rn = 327 THEN v END)) * (16383 * 2.0 / 100.0 - 327) AS lo,
+         |  MAX(CASE WHEN rn = 16055 THEN v END) + (MAX(CASE WHEN rn = 16056 THEN v END) - MAX(CASE WHEN rn = 16055 THEN v END)) * (16383 * 98.0 / 100.0 - 16055) AS hi
+         | FROM ranked GROUP BY 1, 2, 3)
+         |SELECT p.i, p.j, p.band::INT AS band,
+         | CAST(SUM(CAST(trunc(((CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) - lo) / (hi - lo) * 254.0 + 1.0) AS BIGINT)) AS BIGINT) AS sum_u8
+         |FROM px p JOIN rng USING (i, j, band)
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "scale_minmax" ->
       s"""WITH grid AS ($sqlTileGrid),

@@ -15,10 +15,13 @@ import javax.imageio.ImageIO
   *
   * Images are REAL: payloads are PNG bytes (synthesized deterministically
   * for the fixtures), decoded with the JDK's javax.imageio — no external
-  * codec needed. "Videos" are a length-prefixed container of PNG frames
-  * (no video codec ships with the JDK), so frame sampling decodes real
-  * frames. `decodeStub` remains ONLY for media types with no JDK codec
-  * (audio feature extraction etc.) and is clearly marked.
+  * codec needed. Audio is REAL too: 16-bit PCM WAV decoded with
+  * javax.sound.sampled (the JDK's WAV codec). "Videos" are a
+  * length-prefixed container of PNG frames (no video codec ships with the
+  * JDK), so frame sampling decodes real frames. Media types with no JDK
+  * codec at all are handled as opaque bytes: metadata plus real BYTE-level
+  * features (mean, printable fraction, Shannon entropy) — honest
+  * content-derived statistics, not a fake decode.
   */
 object Multimodal {
 
@@ -114,43 +117,140 @@ object Multimodal {
     out.toSeq
   }
 
-  /** STUB decode for media types with NO JDK codec (e.g. audio): a real
-    * implementation would call an external codec here. Deterministic fake
-    * so the batch plumbing stays testable for those types too. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val h0 = graft.core.SplitMix64.next(payload.length.toLong ^
-      (if (payload.nonEmpty) payload(0).toLong << 8 else 0L))
-    val width = 64 + (java.lang.Long.remainderUnsigned(h0, 960L)).toInt
-    val height = 64 + (java.lang.Long.remainderUnsigned(graft.core.SplitMix64.next(h0), 960L)).toInt
+  // ---- real audio (javax.sound.sampled — the JDK's WAV/PCM codec) ---------
+
+  /** Deterministic sample count for doc k's synthetic WAV. */
+  def synthAudioLen(k: Long): Int = 200 + (k % 100).toInt
+
+  /** Deterministic 16-bit sample t of doc k: ((k·31 + t·17 + 7) mod 2048)
+    * − 1024 — closed-form so the DuckDB oracle re-derives every sample. */
+  def synthSample(k: Long, t: Int): Short =
+    (((k * 31 + t.toLong * 17 + 7) % 2048) - 1024).toShort
+
+  val AudioSampleRate = 8000f
+
+  /** Deterministic WAV bytes for doc k: 16-bit signed little-endian PCM,
+    * mono, 8 kHz, written by the JDK's WAVE writer. */
+  def encodeWav(k: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = synthAudioLen(k)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = synthSample(k, t)
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(AudioSampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Integer-exact audio statistics from one decoded WAV payload: the
+    * decode is REAL (AudioSystem parses the RIFF header and converts the
+    * stream), so a broken codec path cannot reproduce the oracle's
+    * closed-form sums. */
+  case class AudioStats(sampleRate: Int, nSamples: Int, sumSamples: Long,
+                        sumSquares: Long, zeroCrossings: Int)
+
+  def decodeWav(payload: Array[Byte]): AudioStats = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected 16-bit mono PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sum = 0L; var sq = 0L; var zc = 0
+    var prev = 0
+    var t = 0
+    while (t < n) {
+      val lo = bytes(2 * t) & 0xff
+      val hi = bytes(2 * t + 1).toInt
+      val s = if (fmt.isBigEndian) ((bytes(2 * t).toInt << 8) | (bytes(2 * t + 1) & 0xff))
+              else ((hi << 8) | lo)
+      sum += s; sq += s.toLong * s
+      if (t > 0 && prev * s < 0) zc += 1
+      prev = s
+      t += 1
+    }
+    AudioStats(fmt.getSampleRate.toInt, n, sum, sq, zc)
+  }
+
+  /** Byte-level features for media types with NO JDK codec: mean byte
+    * value, printable-ASCII fraction, Shannon entropy — real statistics of
+    * the payload (deterministic, content-derived), not a fake decode. */
+  def byteFeatures(payload: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](16)
-    var s = h0
+    if (payload.isEmpty) return feats
+    val hist = new Array[Long](256)
+    var sum = 0L; var printable = 0L
     var i = 0
-    while (i < feats.length) {
-      s = graft.core.SplitMix64.next(s)
-      feats(i) = ((s >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b) += 1
+      sum += b
+      if (b >= 0x20 && b < 0x7f) printable += 1
       i += 1
     }
-    (width, height, 1, feats)
+    val n = payload.length.toDouble
+    var entropy = 0.0
+    i = 0
+    while (i < 256) {
+      if (hist(i) > 0) { val p = hist(i) / n; entropy -= p * math.log(p) / math.log(2.0) }
+      i += 1
+    }
+    feats(0) = (sum / n / 255.0).toFloat
+    feats(1) = (printable / n).toFloat
+    feats(2) = (entropy / 8.0).toFloat
+    feats(3) = (payload.length.toFloat / (1 << 20))
+    feats
   }
 
   /** Batched decode + feature extraction: mapPartitions so codec setup
     * amortizes across a partition's rows — the batch-shaped UDF contract of
-    * the scale path. PNG payloads decode for real; unsupported types fall
-    * back to the labeled stub. */
+    * the scale path. PNG and WAV payloads decode for real; types with no
+    * JDK codec get opaque byte-level features (width/height/frames 0). */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup would happen here (codec init, model load)
       rows.map { r =>
-        if (r.media_type == "image/png") {
-          val (w, h, feats) = decodeImage(r.payload)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, 1, feats)
-        } else {
-          val (w, h, f, feats) = decodeStub(r.payload)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, f, feats)
+        r.media_type match {
+          case "image/png" =>
+            val (w, h, feats) = decodeImage(r.payload)
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, 1, feats)
+          case "audio/wav" =>
+            val a = decodeWav(r.payload)
+            val feats = new Array[Float](16)
+            feats(0) = (math.sqrt(a.sumSquares.toDouble / a.nSamples) / 32768.0).toFloat // rms
+            feats(1) = if (a.nSamples > 1) a.zeroCrossings.toFloat / (a.nSamples - 1) else 0f
+            feats(2) = a.nSamples.toFloat / a.sampleRate // duration s
+            feats(3) = (a.sumSamples.toDouble / a.nSamples / 32768.0).toFloat // DC offset
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length, 0, 0, a.nSamples, feats)
+          case _ =>
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length, 0, 0, 0,
+              byteFeatures(r.payload))
         }
       }
     }
+  }
+
+  /** Integer-exact audio stats table (the `multimodal_audio` query surface):
+    * every column is an exact integer over the DECODED samples, so the
+    * DuckDB oracle can predict them from the synth formula with no FP
+    * hazard. */
+  def decodeAudioStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val a = decodeWav(r.payload)
+      (r.doc_id, r.payload.length, a.sampleRate, a.nSamples, a.sumSamples,
+        a.sumSquares, a.zeroCrossings)
+    }).toDF("doc_id", "n_bytes", "sample_rate", "n_samples", "sum_samples",
+      "sum_squares", "zero_crossings")
   }
 
   /** Real resize: decode → area-average scale → re-encode PNG. */
@@ -214,12 +314,21 @@ object Multimodal {
       .map(k => MediaRow(k, encodeFrameContainer(k, nFrames), "video/x-frames"))
   }
 
+  /** Real WAV media table from the documents table (deterministic synth —
+    * payload bytes are an actual RIFF/WAVE file per doc_id). */
+  def audioFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(k => MediaRow(k, encodeWav(k), "audio/wav"))
+  }
+
   /** Opaque binary media table from the documents table (payload = UTF-8
-    * bytes of text — used by the metadata-plumbing query). */
+    * bytes of text — used by the metadata-plumbing query and the no-codec
+    * byte-features path). */
   def mediaFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
-        concat(lit("image/stub-"), col("source")).as("media_type"))
+        concat(lit("application/x-"), col("source")).as("media_type"))
       .as[MediaRow]
   }
 }

@@ -12,8 +12,11 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeFeatures(media).collect()
     assert(out.length == docs.count())
     assert(out.forall(_.features.length == 16))
-    assert(out.forall(f => f.width >= 64 && f.width < 1024 && f.n_frames == 1))
+    // opaque (no-JDK-codec) types: no decode dims, real byte-level stats —
+    // text payloads are overwhelmingly printable ASCII with entropy > 0
+    assert(out.forall(f => f.width == 0 && f.height == 0 && f.n_frames == 0))
     assert(out.forall(f => f.n_bytes > 0))
+    assert(out.forall(f => f.features(1) > 0.9f && f.features(2) > 0f))
     // repartitioned run yields identical rows (pure function of payload)
     val out2 = Multimodal.decodeFeatures(media.repartition(7)).collect()
     assert(out.map(f => (f.doc_id, f.width, f.features.toSeq)).toSet ==
@@ -45,6 +48,24 @@ class MultimodalSpec extends AnyFunSuite {
     val f0 = frames.find(f => f.doc_id == 1 && f.frame_idx == 0).get
     val f1 = frames.find(f => f.doc_id == 1 && f.frame_idx == 1).get
     assert(f0.features(0) != f1.features(0))
+  }
+
+  test("real WAV codec: encode→decode roundtrip recovers exact sample statistics") {
+    val k = 42L
+    val n = Multimodal.synthAudioLen(k)
+    val a = Multimodal.decodeWav(Multimodal.encodeWav(k))
+    assert(a.sampleRate == 8000 && a.nSamples == n)
+    // closed-form ground truth straight from the synth formula
+    val samples = (0 until n).map(t => Multimodal.synthSample(k, t).toInt)
+    assert(a.sumSamples == samples.map(_.toLong).sum)
+    assert(a.sumSquares == samples.map(s => s.toLong * s).sum)
+    assert(a.zeroCrossings == samples.sliding(2).count(p => p(0) * p(1) < 0))
+    // the audio path flows through decodeFeatures with real rms/zcr/duration
+    import spark.implicits._
+    val media = Multimodal.audioFromDocs(spark,
+      spark.range(0, 5).select(org.apache.spark.sql.functions.col("id").as("doc_id")))
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 5 && feats.forall(f => f.n_frames > 0 && f.features(0) > 0f))
   }
 
   test("SQL function registration: cell functions + tile_windows usable from SQL") {

@@ -147,35 +147,113 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
   }
 
+  /** Rows-of-the-hottest-key threshold above which the one-exchange window
+    * form of [[dropHotKeys]] (which sorts the hottest key's rows in ONE
+    * task) is abandoned for the wide 3-exchange form. Sized to what one
+    * executor task sorts comfortably (~a few hundred MB of (key, th)
+    * rows); below it the window form's single hot task is still cheaper
+    * than two extra exchanges. */
+  val HotKeyWindowRowLimit = 4000000L
+
+  /** Skew probe sample fraction (deterministic seed — the decision only
+    * picks between two provably output-identical plans). */
+  private val SkewProbeFraction = 0.02
+
+  /** Estimate the hottest blocking key's row multiplicity from a one-pass
+    * sample of `rows` (persisted upstream, so the scan is cheap and also
+    * warms the cache the downstream stages reuse). Scale-up of the sampled
+    * max is a fine estimator HERE because the probe only needs to detect
+    * keys that dominate the corpus (≫ rowLimit rows): such a key appears
+    * ~fraction·D times in the sample with tiny relative error, while keys
+    * far below the limit can be off by 10× without changing the plan. */
+  private[graft] def approxMaxKeyRows(rows: DataFrame, keyCols: Seq[String]): Long = {
+    val r = rows.sample(withReplacement = false, SkewProbeFraction, seed = 42L)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx")).head()
+    if (r.isNullAt(0)) 0L else (r.getLong(0) / SkewProbeFraction).toLong
+  }
+
+  /** Shingle-skew probe that samples DOCUMENTS before shingling: builds the
+    * shingle table for a 2% doc sample only (2% of the flatMap+distinct
+    * work, nothing materialized ahead of the real pipeline) and scales the
+    * hottest shingle's distinct-doc count back up. Used by [[ngramJaccard]],
+    * whose full shingle table has no cheap total-rows bound to short-circuit
+    * on. */
+  private[graft] def approxMaxShingleDf(docs: DataFrame, w: Int): Long = {
+    val sampled = shingleTableTh(
+      docs.sample(withReplacement = false, SkewProbeFraction, seed = 42L), w)
+    val r = sampled.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx")).head()
+    sampled.unpersist()
+    if (r.isNullAt(0)) 0L else (r.getLong(0) / SkewProbeFraction).toLong
+  }
+
+  /** Wide 3-exchange form of the DF cap for degenerate key skew: map-side
+    * partial dedup of (key, th) via distinct(), per-key distinct-text
+    * counts via hash aggregation (the hottest key's final count receives
+    * one partial row per map partition — never a single-task sort), then a
+    * BROADCAST anti-join so the data rows are never shuffled at all. The
+    * broadcast is bounded by construction: this path is selected only when
+    * one key's multiplicity exceeds [[HotKeyWindowRowLimit]], so keys that
+    * hot number at most |rows|/rowLimit — a handful, not millions. */
+  private[graft] def dropHotKeysWide(rows: DataFrame, keyCols: Seq[String],
+                                     cap: Int): DataFrame = {
+    val kcols = keyCols.map(col)
+    val hot = rows.select(kcols :+ col("th"): _*).distinct()
+      .groupBy(kcols: _*).agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .select(kcols: _*)
+    rows.join(broadcast(hot), keyCols, "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
   /** Drop rows whose blocking key is shared by more than `cap` distinct
-    * texts.  Implemented as ONE exchange: window by the blocking key, where
-    * max(dense_rank ordered by th) = exact count(DISTINCT th) — a
+    * texts.  Default form is ONE exchange: window by the blocking key,
+    * where max(dense_rank ordered by th) = exact count(DISTINCT th) — a
     * groupBy(countDistinct) + anti-join costs 3 exchanges for the same
     * filter.  The output is persisted hash-partitioned by the key, so the
     * downstream candidate self-join ([[blockedPairs]]) reuses the
-    * partitioning and adds NO further exchange.  Hot-key skew: the hottest
-    * key's rows land in one window partition (sorted single task), the same
-    * single-reducer profile the aggregate's final stage would have; if a
-    * corpus's max key multiplicity ever dominates the wall, the 3-exchange
-    * variant (groupBy + countDistinct + broadcast anti-join, map-side
-    * partial dedup of (key, th)) spreads that key's pre-aggregation wider —
-    * measured 2-3 s slower per query at fixture scale, which is why the
-    * window form is the default. */
-  private def dropHotKeys(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val pw = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
-    rows
-      .withColumn("dr", dense_rank().over(pw.orderBy(col("th"))))
-      .withColumn("df", max(col("dr")).over(pw))
-      .where(col("df") <= cap)
-      .drop("dr", "df")
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    * partitioning and adds NO further exchange.
+    *
+    * Hot-key skew is handled ADAPTIVELY: the window form puts the hottest
+    * key's rows in one sorted task — fine up to [[HotKeyWindowRowLimit]]
+    * rows, a straggler/OOM beyond it (a degenerate corpus where one
+    * boilerplate shingle covers half the documents). A one-pass sampled
+    * probe ([[approxMaxKeyRows]]) detects that regime and switches to
+    * [[dropHotKeysWide]]; the two forms are provably output-identical
+    * (both filter on exact count(DISTINCT th) per key — DedupScaleGuardSpec
+    * pins the equivalence on a planted degenerate corpus). */
+  private def dropHotKeys(rows: DataFrame, keyCols: Seq[String], cap: Int,
+                          rowLimit: Long, probe: () => Long): DataFrame = {
+    // rowLimit = Long.MaxValue disables the skew probe entirely (callers
+    // that know their corpus, and A/B measurement in tools.DedupProfile);
+    // `probe` is a thunk so call sites can short-circuit it for free when a
+    // cheap upper bound (e.g. total band rows = nBands × |docs|) already
+    // rules the degenerate regime out — fixture-scale runs pay zero for the
+    // adaptivity while a 100-TB corpus (where the probe is relatively
+    // negligible) still gets it.
+    if (rowLimit != Long.MaxValue && probe() > rowLimit)
+      dropHotKeysWide(rows, keyCols, cap)
+    else {
+      val pw = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+      rows
+        .withColumn("dr", dense_rank().over(pw.orderBy(col("th"))))
+        .withColumn("df", max(col("dr")).over(pw))
+        .where(col("df") <= cap)
+        .drop("dr", "df")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
   }
 
   /** Shingle-blocked candidate pairs with the DF cap applied — exposed so
     * the planted hot-shingle scale test and tools.DedupBench can measure
     * the candidate count (the blowup is invisible in the verified output). */
-  private[graft] def ngramCandidates(docs: DataFrame, w: Int, dfCap: Int): DataFrame =
-    blockedPairs(dropHotKeys(shingleTableTh(docs, w), Seq("sh"), dfCap), Seq("sh"))
+  private[graft] def ngramCandidates(docs: DataFrame, w: Int, dfCap: Int,
+                                     rowLimit: Long = HotKeyWindowRowLimit): DataFrame =
+    blockedPairs(dropHotKeys(shingleTableTh(docs, w), Seq("sh"), dfCap, rowLimit,
+      // DF is counted over distinct texts, so |docs| bounds any shingle's DF
+      () => if (rowLimit == Long.MaxValue || docs.count() <= rowLimit) 0L
+            else approxMaxShingleDf(docs, w)), Seq("sh"))
 
   /** Candidate pairs (doc_a < doc_b) sharing a blocking key. Both join
     * inputs are the persisted, key-partitioned [[dropHotKeys]] output, so
@@ -204,7 +282,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, w: Int = 3, nHashes: Int = 8,
                  rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                  bandCap: Int = BandDfCap,
-                 collapseThreshold: Double = CollapsePairsPerDoc): DataFrame = {
+                 collapseThreshold: Double = CollapsePairsPerDoc,
+                 hotKeyRowLimit: Long = HotKeyWindowRowLimit): DataFrame = {
 
     // ONE shingle table shared by the signature aggregation and the verify
     // join — the explode + distinct shuffle (the dominant scan at 100 TB)
@@ -224,7 +303,14 @@ object Dedup {
         sig.select(col("doc_id"), col("th"),
           lit(b).as("band"), md5(concat_ws("_", cols: _*)).as("band_key"))
       }.reduce(_ unionByName _)
-      val blk = dropHotKeys(bands, Seq("band", "band_key"), bandCap)
+      // cheap short-circuit: band rows = nBands × |base| exactly (one row
+      // per doc per band; the count is parquet-metadata cheap, or a cache
+      // materialization the collapse path reuses) — the sampled probe only
+      // runs when a single key COULD exceed the limit
+      val blk = dropHotKeys(bands, Seq("band", "band_key"), bandCap, hotKeyRowLimit,
+        () => if (hotKeyRowLimit == Long.MaxValue ||
+                  nBands.toLong * base.count() <= hotKeyRowLimit) 0L
+              else approxMaxKeyRows(bands, Seq("band", "band_key")))
       val cand = blockedPairs(blk, Seq("band", "band_key"))
       val sh = sh3.select("doc_id", "sh")
       val sizes = sig.select("doc_id", "n_sh")
@@ -294,11 +380,16 @@ object Dedup {
     * the full shingle sets. */
   def ngramJaccard(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.3,
                    dfCap: Int = ShingleDfCap,
-                   collapseThreshold: Double = CollapsePairsPerDoc): DataFrame = {
+                   collapseThreshold: Double = CollapsePairsPerDoc,
+                   hotKeyRowLimit: Long = HotKeyWindowRowLimit): DataFrame = {
 
     def pairsOn(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
       val sh3 = shingleTableTh(base, w)
-      val blk = dropHotKeys(sh3, Seq("sh"), dfCap)
+      val blk = dropHotKeys(sh3, Seq("sh"), dfCap, hotKeyRowLimit,
+        // DF is counted over distinct texts, so |base| bounds any shingle DF
+        () => if (hotKeyRowLimit == Long.MaxValue ||
+                  base.count() <= hotKeyRowLimit) 0L
+              else approxMaxShingleDf(base, w))
       val cand = blockedPairs(blk, Seq("sh"))
       val sh = sh3.select("doc_id", "sh")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -338,7 +429,8 @@ object Dedup {
     * distinct texts, verify Hamming distance exactly. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    quarterCap: Int = QuarterDfCap,
-                   collapseThreshold: Double = CollapsePairsPerDoc): DataFrame = {
+                   collapseThreshold: Double = CollapsePairsPerDoc,
+                   hotKeyRowLimit: Long = HotKeyWindowRowLimit): DataFrame = {
 
     def pairsOn(base: DataFrame): (DataFrame, DataFrame) = {
       // fingerprints feed 4 block projections × 2 join sides — persist
@@ -347,7 +439,11 @@ object Dedup {
         sig.select(col("doc_id"), col("th"), col("simhash"),
           lit(q).as("q"), shiftright(col("simhash"), q * 15).bitwiseAND(lit(0x7fffL)).as("qk")))
         .reduce(_ unionByName _)
-      val blk = dropHotKeys(blocks, Seq("q", "qk"), quarterCap)
+      // block rows = 4 quarters × |base| exactly — free probe short-circuit
+      val blk = dropHotKeys(blocks, Seq("q", "qk"), quarterCap, hotKeyRowLimit,
+        () => if (hotKeyRowLimit == Long.MaxValue ||
+                  4L * base.count() <= hotKeyRowLimit) 0L
+              else approxMaxKeyRows(blocks, Seq("q", "qk")))
       val cand = blk.as("x").join(blk.as("y"),
           col("x.q") === col("y.q") && col("x.qk") === col("y.qk") &&
             col("x.doc_id") < col("y.doc_id"))

@@ -108,6 +108,16 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
+  /** Sampled estimate of the hottest (band, key) bucket's row count —
+    * see [[graft.operators.Dedup.approxMaxKeyRows]] for the estimator
+    * rationale (detects dominance, not small counts). */
+  private def approxMaxBucketRows(bandRows: DataFrame): Long = {
+    val r = bandRows.sample(withReplacement = false, 0.02, seed = 42L)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx")).head()
+    if (r.isNullAt(0)) 0L else (r.getLong(0) / 0.02).toLong
+  }
+
   /** Hot-key cap for band buckets: a degenerate corpus (e.g. many all-zero
     * embeddings) can put D vectors in one band bucket → D²/2 candidates;
     * buckets larger than this are dropped from candidate generation (same
@@ -125,7 +135,8 @@ object Similarity {
     * only (vec_id, key) rows, never an all-pairs comparison. */
   def cosinePairs(vectors: DataFrame, tau: Double, dim: Int,
                   nPlanes: Int = 24, nBands: Int = 6,
-                  bucketCap: Int = BandBucketCap): DataFrame = {
+                  bucketCap: Int = BandBucketCap,
+                  hotKeyRowLimit: Long = Dedup.HotKeyWindowRowLimit): DataFrame = {
     // divisor-aware banding: a caller passing nPlanes that `nBands` doesn't
     // divide (e.g. the pre-round-3 default nPlanes = 8 with the new
     // nBands = 6) gets the largest divisor of nPlanes ≤ nBands instead of an
@@ -150,10 +161,28 @@ object Similarity {
         sig.select(col("vec_id"), lit(b).as("band"), col(s"k$b").as("key")))
       .reduce(_ unionByName _)
     // one exchange: count per (band, key) via window, drop hot buckets, and
-    // the persisted key-partitioned output co-partitions the self-join
+    // the persisted key-partitioned output co-partitions the self-join.
+    // Degenerate bucket skew (e.g. a corpus of near-identical embeddings
+    // putting most vectors in one band bucket) would make that window's
+    // hottest partition a single-task sort — the same sampled probe as
+    // Dedup.dropHotKeys switches to a 3-exchange groupBy-count + broadcast
+    // anti-join form (output-identical: both filter on exact per-bucket row
+    // counts; vec_ids are unique so row count = distinct count here)
+    // free short-circuit: band rows = effBands × |vectors| exactly (one row
+    // per vector per band), so a table under the limit never pays the probe
     val pw = WExpr.partitionBy(col("band"), col("key"))
-    val blk = bandRows.withColumn("df", count(lit(1)).over(pw))
-      .where(col("df") <= bucketCap).drop("df")
+    val probeNeeded = hotKeyRowLimit != Long.MaxValue &&
+      effBands.toLong * vectors.count() > hotKeyRowLimit
+    val blkPlan =
+      if (probeNeeded && approxMaxBucketRows(bandRows) > hotKeyRowLimit) {
+        val hot = bandRows.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("df")).where(col("df") > bucketCap)
+          .select("band", "key")
+        bandRows.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      } else
+        bandRows.withColumn("df", count(lit(1)).over(pw))
+          .where(col("df") <= bucketCap).drop("df")
+    val blk = blkPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cand = blk.as("x").join(blk.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -67,6 +67,62 @@ class DedupScaleGuardSpec extends AnyFunSuite {
     assert(n == 47L)
   }
 
+  test("degenerate key skew switches to the wide cap form, output-identical") {
+    import spark.implicits._
+    // one shingle ("all rights reserved") planted on 50% of 2000 DISTINCT
+    // docs — the hottest-key window task would sort all those rows alone;
+    // the sampled probe must detect it and pick the wide 3-exchange form
+    val docs = spark.range(0, 2000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0,
+          concat(lit("all rights reserved body"), col("id").cast("string"),
+            lit(" tail"), col("id").cast("string")))
+          .otherwise(concat(lit("unique"), col("id").cast("string"),
+            lit(" text"), col("id").cast("string"), lit(" here"),
+            col("id").cast("string"))).as("text"))
+    val sh = spark.range(0, 2000).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("th"),
+      when(col("id") % 2 === 0, lit("hotkey")).otherwise(concat(lit("k"), col("id"))).as("sh"))
+
+    // probe detects the planted dominance (~1000 rows on one key)
+    val est = Dedup.approxMaxKeyRows(sh, Seq("sh"))
+    assert(est > 250 && est < 4000, s"estimate $est should be ~1000")
+
+    // wide and window cap forms agree exactly on the capped candidates
+    val capped = Dedup.ngramCandidates(docs, w = 3, dfCap = Dedup.ShingleDfCap)
+    val cappedWide = Dedup.ngramCandidates(docs, w = 3, dfCap = Dedup.ShingleDfCap,
+      rowLimit = 100L)
+    assert(collect(capped) == collect(cappedWide))
+
+    // the wide plan must not contain a Window node (no single-task sort of
+    // the hot key) and must broadcast the hot-key side
+    val widePlan = cappedWide.queryExecution.executedPlan.toString
+    assert(!widePlan.contains("Window"), "wide form must avoid the window sort")
+    assert(widePlan.contains("BroadcastHashJoin") || widePlan.contains("Broadcast"),
+      "hot keys must be broadcast, not shuffled")
+  }
+
+  test("cosinePairs: degenerate bucket skew takes the wide form, output-identical") {
+    import spark.implicits._
+    // 2000 near-identical vectors share every band bucket (> BandBucketCap
+    // → dropped by the cap) + 8 vectors of a different sign pattern that
+    // stay under the cap and yield real verified pairs
+    def vecs(n0: Long, n1: Long, flip: Boolean) = spark.range(n0, n1)
+      .select(col("id").as("vec_id"),
+        array((0 until 8).map(c =>
+          lit(if (flip && c == 0) -1.0 else 1.0) + col("id") * lit(1e-9) * (c + 1)): _*)
+          .cast("array<float>").as("embedding"))
+    val all = vecs(0, 2000, flip = false).unionByName(vecs(2000, 2008, flip = true))
+    val wide = Similarity.cosinePairs(all, tau = 0.5, dim = 8, hotKeyRowLimit = 50L)
+    val window = Similarity.cosinePairs(all, tau = 0.5, dim = 8,
+      hotKeyRowLimit = Long.MaxValue)
+    val (rw, rn) = (collect(wide), collect(window))
+    assert(rw.nonEmpty, "cool cluster must produce pairs")
+    assert(rw == rn)
+    assert(!wide.queryExecution.executedPlan.toString.contains("Window"),
+      "wide form must avoid the window sort")
+  }
+
   test("hot-shingle DF cap bounds candidate generation") {
     import spark.implicits._
     // 1000 DISTINCT docs all sharing one 3-gram ("boilerplate legal footer")

@@ -58,6 +58,13 @@ object QueryCatalog {
   private val sqlLat = "(-85.0 + (doc_id * 104729 % 17000) / 100.0)"
   private val sqlLon = "(-180.0 + (doc_id * 7919 % 36000) / 100.0)"
 
+  // Second derivation for the knn_large QUERY side (distinct from the
+  // points side so queries don't sit exactly on points).
+  private val qLat: Column = lit(-80.0) + (col("doc_id") * lit(92821L) % lit(16000L)).cast("double") / lit(100.0)
+  private val qLon: Column = lit(-175.0) + (col("doc_id") * lit(54881L) % lit(35000L)).cast("double") / lit(100.0)
+  private val sqlQLat = "(-80.0 + (doc_id * 92821 % 16000) / 100.0)"
+  private val sqlQLon = "(-175.0 + (doc_id * 54881 % 35000) / 100.0)"
+
   // lux1 constants (FIXTURES.md §2)
   private val LW = 483; private val LH = 216
   private val A = 8.983152795e-5; private val E = -8.983152778e-5
@@ -215,6 +222,19 @@ object QueryCatalog {
       val queries = knnQueryPoints.toDF("qid", "qlat", "qlon")
       val points = docs(s, dir).select(col("doc_id").as("id"), dLat.as("lat"), dLon.as("lon"))
       Knn.knnRingExpansion(s, points, queries, k = 5, res = 4)
+        .select(col("qid"), col("rank"), col("id"), fp6(col("dist2")).as("dist2_fp"))
+    }),
+
+    // ---- G4 at scale: kNN with a LARGE (never collected) query set --------
+    // every document doubles as a query point (different coordinate derivation
+    // than the points side) — the pipeline shape the round-3 verdict flagged:
+    // 10⁵ queries joined distributively, per-query adaptive expansion,
+    // salted two-level top-k
+    "knn_large" -> ((s, dir) => {
+      val points = docs(s, dir).select(col("doc_id").as("id"), dLat.as("lat"), dLon.as("lon"))
+      val queries = docs(s, dir).select(col("doc_id").as("qid"),
+        qLat.as("qlat"), qLon.as("qlon"))
+      Knn.knnLarge(s, points, queries, k = 3, res = 4)
         .select(col("qid"), col("rank"), col("id"), fp6(col("dist2")).as("dist2_fp"))
     }),
 
@@ -826,6 +846,17 @@ object QueryCatalog {
          |SELECT qid, rank, id, CAST(FLOOR(dist2*1000000.0) AS BIGINT) AS dist2_fp
          |FROM d WHERE rank <= 5""".stripMargin
     },
+
+    "knn_large" ->
+      s"""WITH q AS (SELECT doc_id AS qid, $sqlQLat AS qlat, $sqlQLon AS qlon FROM documents),
+         |pts AS (SELECT doc_id AS id, $sqlLat AS lat, $sqlLon AS lon FROM documents),
+         |d AS (SELECT qid, id,
+         |  (qlat - lat)*(qlat - lat) + (qlon - lon)*(qlon - lon) AS dist2,
+         |  row_number() OVER (PARTITION BY qid ORDER BY
+         |    (qlat - lat)*(qlat - lat) + (qlon - lon)*(qlon - lon), id) AS rank
+         | FROM q, pts)
+         |SELECT qid, rank, id, CAST(FLOOR(dist2*1000000.0) AS BIGINT) AS dist2_fp
+         |FROM d WHERE rank <= 3""".stripMargin,
 
     "reproject_3857" ->
       s"""SELECT doc_id,

@@ -31,6 +31,43 @@ class KnnSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnLarge equals brute force and knnRingExpansion; no nested-loop join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val pts = (0L until 3000L).map(i =>
+      (i, -80.0 + rng.nextDouble() * 160.0, -170.0 + rng.nextDouble() * 340.0))
+    // 500 queries, including a far-from-data outlier that forces extra
+    // rounds — per-query drop-out means it must not re-expand the others
+    val queries = (0L until 499L).map(q =>
+      (q, -60.0 + rng.nextDouble() * 120.0, -150.0 + rng.nextDouble() * 300.0)) :+
+      ((499L, -89.9, -179.9))
+    val ptsDf = pts.toDF("id", "lat", "lon")
+    val qDf = queries.toDF("qid", "qlat", "qlon")
+    val large = Knn.knnLarge(spark, ptsDf, qDf, k = 5, res = 4)
+    val got = large.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == 500 * 5)
+    // in-memory brute force on a sample of queries + the outlier
+    (queries.take(20) :+ queries.last).foreach { case (q, qlat, qlon) =>
+      val want = pts.map { case (id, lat, lon) =>
+        (id, (qlat - lat) * (qlat - lat) + (qlon - lon) * (qlon - lon))
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+      want.zipWithIndex.foreach { case (id, i) =>
+        assert(got((q, i + 1)) == id, s"query $q rank ${i + 1}")
+      }
+    }
+    // identical to the collected-queries form on a small set
+    val small = qDf.where(col("qid") < 7)
+    val a = Knn.knnLarge(spark, ptsDf, small, k = 5, res = 4)
+      .collect().map(_.toSeq).toSet
+    val b = Knn.knnRingExpansion(spark, ptsDf, small, k = 5, res = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // plan shape: cell equi-joins only — no cartesian / nested-loop fallback
+    val plan = large.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "knnLarge must never degrade to an all-pairs join")
+  }
+
   // The synthetic embeddings are unclustered (intra-label cosine ≈
   // inter-label ≈ 0), so IVF recall at nProbe/nCentroids = 4/16 cannot beat
   // the partition-coverage baseline by much — on clustered real data the

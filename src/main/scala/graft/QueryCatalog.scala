@@ -380,6 +380,21 @@ object QueryCatalog {
           rescaleMode = Some("values"), rescaleRange = (0.0, 0.3)))
       ChipPipeline.footprints(chips)
     }),
+    // F2 double-permute quirk, cross-engine-checked: write_tif re-indexes
+    // the already-subset array by `bands` AGAIN (chips.py:337), so the
+    // non-involution bands=(2,3,1) nets to slot→original [3,1,2] — a naive
+    // single permute would emit [2,3,1] and hash-mismatch. The oracle
+    // composes the permutation with itself symbolically (self-join on the
+    // bands list) rather than hardcoding the net order.
+    "extract_chips_bands" -> ((s, _) => {
+      import s.implicits._
+      ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
+          cfg = ChipPipeline.ChipConfig(bands = Some(Seq(2, 3, 1))))
+        .flatMap(c => c.img_f32.zipWithIndex.map { case (b, si) =>
+          (c.i, c.j, si + 1, math.floor(b.map(_.toDouble).sum * 100.0).toLong)
+        }).toDF("i", "j", "slot", "sum_fp")
+    }),
+
     "pages_chips" -> ((s, _) => {
       val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
       PagesTiling.extractChips(s, Fixtures.pages(s, 20000), Fixtures.luxMeta(),
@@ -1181,6 +1196,22 @@ object QueryCatalog {
          | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
          | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename
          |FROM kept""".stripMargin,
+
+    // slot s holds original band bands[bands[s]] — the self-join composes
+    // the permutation twice, re-deriving the chips.py:337 quirk
+    "extract_chips_bands" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |bsel(pos, band) AS (VALUES (1, 2), (2, 3), (3, 1)),
+         |net AS (
+         | SELECT b1.pos AS slot, b2.band AS orig
+         | FROM bsel b1 JOIN bsel b2 ON b2.pos = b1.band),
+         |px AS (
+         | SELECT g.i, g.j, n.slot,
+         |  CAST(CAST((n.orig * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS DOUBLE) AS v
+         | FROM grid g, net n, range(0, 128) y(y), range(0, 128) x(x))
+         |SELECT i, j, slot::INT AS slot,
+         | CAST(FLOOR(SUM(v) * 100.0) AS BIGINT) AS sum_fp
+         |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     "generalize_3857" -> OracleSql.chaikinStats,
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
+import scala.jdk.CollectionConverters._
 
 /** Minimal Iceberg-style table layout (no Iceberg runtime is available in
   * this environment — SURVEY.md §7.4/§7.3 item 5): Parquet data files plus
@@ -128,6 +129,81 @@ class IcebergLite(root: String, spark: SparkSession) {
     if (committedSnapshots().isEmpty) work
     else work.join(manifests().select(col("part_key").as(keyCol)).distinct(),
       Seq(keyCol), "left_anti")
+
+  /** Maintenance: snapshot expiry + manifest compaction (single-writer op,
+    * like Iceberg's own maintenance actions). A long-lived append-only
+    * table otherwise accumulates one data directory, one manifest file and
+    * one VERSION line per commit — after N commits every read plans over N
+    * snapshot ids and N parquet fragments. Compaction rewrites all
+    * committed data (per `sub`) and all committed manifest rows under ONE
+    * fresh snapshot id, publishes VERSION = [that id] atomically, then
+    * physically drops the superseded data directories and manifest files —
+    * so read planning returns to O(1) while [[readData]]/[[manifests]]/
+    * [[pendingWork]] results are bit-identical (ResumeSpec pins a
+    * 200-commit table reading identically after compaction).
+    *
+    * Crash safety mirrors [[commit]]: everything is written under the new
+    * id BEFORE the atomic VERSION move (a crash leaves the new files
+    * invisible and the old table intact); physical deletion runs only
+    * AFTER the move, and a crash mid-cleanup leaves only invisible
+    * leftovers that the next compaction removes. */
+  def compact(): Long = {
+    import spark.implicits._
+    val old = committedSnapshots()
+    require(old.nonEmpty, "nothing to compact: no committed snapshots")
+    val snap = allocateSnapshotId()
+    // every data sub-table is rewritten (discovered from the layout, so a
+    // caller cannot accidentally expire a sub it forgot to list)
+    val dataRootDir = Paths.get(root, "data")
+    val subs: Seq[String] =
+      if (Files.exists(dataRootDir))
+        Files.list(dataRootDir).iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).toSeq
+      else Seq.empty
+    subs.foreach { sub =>
+      val df = readData(sub)
+      if (df.schema.nonEmpty)
+        df.write.mode(SaveMode.Append).parquet(s"$root/data/$sub/snapshot_id=$snap")
+    }
+    val mf = manifests()
+    val mfRows =
+      if (mf.schema.nonEmpty) {
+        val compacted = mf.drop("snapshot_id").withColumn("snapshot_id", lit(snap))
+        compacted.coalesce(1).write.mode(SaveMode.Append).parquet(s"$metaDir/manifests")
+        compacted.count()
+      } else 0L
+    Seq((snap, System.currentTimeMillis(), "compact", mfRows))
+      .toDF("snapshot_id", "ts_ms", "operation", "rows")
+      .write.mode(SaveMode.Append).parquet(s"$metaDir/snapshots")
+    // commit point: only the compaction snapshot survives
+    val tmp = Paths.get(root, s".VERSION.$snap.tmp")
+    Files.write(tmp, snap.toString.getBytes, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, versionFile, ATOMIC_MOVE, REPLACE_EXISTING)
+    // physical expiry: superseded data dirs, then manifest files whose rows
+    // all carry superseded ids (each file is deleted only after a cheap
+    // per-file id scan, so the directory stays readable at every instant)
+    val dataRoot = Paths.get(root, "data")
+    if (Files.exists(dataRoot)) {
+      Files.walk(dataRoot, 2).filter(p =>
+          p.getFileName.toString.startsWith("snapshot_id=") &&
+            p.getFileName.toString != s"snapshot_id=$snap")
+        .forEach { dir =>
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(Files.delete(_))
+        }
+    }
+    val mfDir = Paths.get(metaDir, "manifests")
+    if (Files.exists(mfDir)) {
+      Files.list(mfDir).filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val ids = spark.read.parquet(f.toString)
+            .select("snapshot_id").distinct().as[Long].collect()
+          if (!ids.contains(snap)) Files.delete(f)
+        }
+    }
+    snap
+  }
 
   /** Append per-partition metrics rows (job_id, stage, partition, rows_in,
     * rows_out, wall_ms, checksum) — the north rule's lineage/metrics tables. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import graft.sources.{Fixtures, IcebergLite}
 
@@ -109,6 +110,50 @@ class ResumeSpec extends AnyFunSuite {
     assert(table.currentSnapshot() == 2)
     assert(table.readData("rows").count() == 10, "exactly-once: no duplicates from the orphan")
     assert(table.manifests().count() == 10)
+  }
+
+  test("compaction: 200-commit table reads identically with O(1) planning state") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val table = new IcebergLite(tmp, spark)
+    // 200 tiny commits (a long-lived append-only table): batch the data into
+    // 200 single-row appends with per-commit manifests
+    (0 until 200).foreach { k =>
+      val row = Seq((k.toLong, s"payload$k")).toDF("id", "payload")
+      table.commit(Some((row, "rows")), Seq(s"part$k").toDF("part_key"), "append")
+    }
+    assert(table.committedSnapshots().length == 200)
+    val dataBefore = table.readData("rows").collect().map(_.toSeq).sortBy(_.toString)
+    val mfBefore = table.manifests().select("part_key").as[String].collect().sorted
+    val work = (0 until 300).map(k => s"part$k").toDF("part_key")
+    val pendingBefore = table.pendingWork(work, "part_key").as[String].collect().sorted
+
+    table.compact()
+
+    // planning state is O(1): one committed snapshot, one manifest file,
+    // one data directory
+    assert(table.committedSnapshots() == Seq(201L))
+    val mfFiles = Files.list(java.nio.file.Paths.get(tmp, "metadata", "manifests"))
+      .iterator(); var nMf = 0
+    while (mfFiles.hasNext) { if (mfFiles.next().toString.endsWith(".parquet")) nMf += 1 }
+    assert(nMf == 1, "manifests must compact to one file")
+    val dataDirs = Files.list(java.nio.file.Paths.get(tmp, "data", "rows"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("snapshot_id="))
+    assert(dataDirs == 1, "superseded data dirs must be expired")
+
+    // reads are bit-identical
+    assert(table.readData("rows").collect().map(_.toSeq).sortBy(_.toString)
+      .sameElements(dataBefore))
+    assert(table.manifests().select("part_key").as[String].collect().sorted
+      .sameElements(mfBefore))
+    assert(table.pendingWork(work, "part_key").as[String].collect().sorted
+      .sameElements(pendingBefore))
+
+    // and the table keeps working: a post-compaction commit appends normally
+    table.commit(Some((Seq((999L, "late")).toDF("id", "payload"), "rows")),
+      Seq("part999").toDF("part_key"), "append")
+    assert(table.readData("rows").count() == 201)
+    assert(table.committedSnapshots() == Seq(201L, 202L))
   }
 
   test("pages written Iceberg-style and read back preserve the text invariant") {

@@ -102,12 +102,12 @@ object Bench {
     // ---- headline catalog queries ----------------------------------------
     // SPARK_GRAFT_FLAGSHIP_ONLY=1 skips them (used by pinned scaling runs)
     val headline = if (sys.env.contains("SPARK_GRAFT_FLAGSHIP_ONLY")) Seq.empty[String] else Seq("q1_agg", "q3_join_topk", "q_window_rank", "spatial_join_tiles",
-      "cell_id", "knn", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+      "cell_id", "knn", "knn_large", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
       "dedup_ngram_jaccard", "dedup_embedding", "ann_topk", "ann_ivf", "token_count", "lang_id",
       "text_quality", "doc_fingerprint", "extract_chips", "filter_chips",
       "polygonize_dissolve", "smooth_stitch", "scale_minmax", "histogram_match",
       "generalize_3857", "spatial_filter_gaussian", "spatial_filter_median",
-      "retile_64", "streaming_counts")
+      "retile_64", "streaming_counts", "rescale_percentiles", "multimodal_audio")
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val q0 = System.nanoTime()

@@ -269,6 +269,17 @@ object QueryCatalog {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 12,
       collapseThreshold = memoizedCollapse(s, dir))),
+    // pairs → keepers: connected components over the simhash near-dup
+    // graph (min-label propagation); every doc maps to its component's min
+    // doc_id, singletons to themselves
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(docs(s, dir), maxHamming = 12,
+        collapseThreshold = memoizedCollapse(s, dir))
+      val cc = Dedup.connectedComponents(pairs)
+      docs(s, dir).select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+    }),
     // banded sign-LSH near-dup pairs (6 bands of 4 sign bits; candidate iff
     // SOME band key matches → exact cosine verify). The oracle reproduces
     // the SAME deterministic hyperplanes as SQL literals, so both engines
@@ -307,6 +318,24 @@ object QueryCatalog {
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
+    // canonical-URL dedup: deterministically MESSY urls per doc (upper-case
+    // scheme/host on every 3rd, explicit :443 on every 2nd, utm param on
+    // every 5th, fragment on every 7th) must collapse to the clean form the
+    // oracle derives directly from doc_id — real java.net.URI parsing
+    "url_dedup" -> ((s, dir) => {
+      val m = col("doc_id") % 200
+      val messy = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, concat(upper(col("source")), lit(".EXAMPLE.COM")))
+          .otherwise(concat(col("source"), lit(".example.com"))),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p"), m,
+        when(col("doc_id") % 5 === 0, concat(lit("?utm_source=feed&q="), m % 10))
+          .otherwise(concat(lit("?q="), m % 10)),
+        when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+      TextOps.urlDedup(docs(s, dir).select(col("doc_id"), messy.as("url")))
+    }),
     // real frame sampling: decode 3 of 5 container PNG frames (evenly
     // spaced) with javax.imageio; the oracle predicts the per-frame channel
     // means analytically from the synth formula
@@ -1011,33 +1040,24 @@ object QueryCatalog {
          |JOIN sizes nb ON nb.doc_id = i.doc_b
          |WHERE i.n_common >= (na.n + nb.n - i.n_common) * 0.25""".stripMargin,
 
-    "dedup_simhash_pairs" ->
-      s"""WITH tok AS (
-         | SELECT DISTINCT doc_id, md5(text) AS th, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), h AS (SELECT doc_id, th, ${h60sql("tok")} AS h FROM tok),
-         |bits AS (
-         | SELECT doc_id, th, b.b AS b, SUM(((h >> b.b) & 1) * 2 - 1) AS s
-         | FROM h, range(0, 60) b(b) GROUP BY 1, 2, 3),
-         |sig AS (
-         | SELECT doc_id, th, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-         | FROM bits GROUP BY 1, 2),
-         |blocks AS (
-         | SELECT doc_id, th, simhash, q.q AS q, (simhash >> (q.q * 15)) & 32767 AS qk
-         | FROM sig, range(0, 4) q(q)),
-         |hot AS (
-         | SELECT q, qk FROM (
-         |  SELECT q, qk, count(DISTINCT th) AS df FROM blocks GROUP BY 1, 2)
-         | WHERE df > ${Dedup.QuarterDfCap}),
-         |blk AS (
-         | SELECT b.doc_id, b.simhash, b.q, b.qk
-         | FROM blocks b ANTI JOIN hot h ON b.q = h.q AND b.qk = h.qk),
-         |cand AS (
-         | SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
-         |   y.doc_id AS doc_b, y.simhash AS sim_b
-         | FROM blk x JOIN blk y
-         |  ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
-         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 12""".stripMargin,
+    "dedup_simhash_pairs" -> sqlSimhashPairs,
+
+    // connected components over the simhash near-dup pairs: transitive
+    // closure by recursive CTE (every node collects all reachable labels,
+    // min per node = the component's min doc_id — the same fixpoint the
+    // Spark min-label propagation converges to)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($sqlSimhashPairs),
+         |edges AS (
+         | SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(node, label) AS (
+         | SELECT u, u FROM edges
+         | UNION
+         | SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v),
+         |comp AS (SELECT node, min(label) AS rep FROM walk GROUP BY node)
+         |SELECT d.doc_id, CAST(coalesce(c.rep, d.doc_id) AS BIGINT) AS cluster_rep
+         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
 
     "ann_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1231,6 +1251,17 @@ object QueryCatalog {
          | ${my(s"(($F + 88 * ($E)) + 62 * ($E))")}""".stripMargin
     },
 
+    // the canonical form is predicted analytically (the casing/port/utm/
+    // fragment noise must all normalize away)
+    "url_dedup" ->
+      """WITH c AS (
+        | SELECT doc_id,
+        |  'https://' || source || '.example.com/p' || (doc_id % 200)
+        |    || '?q=' || ((doc_id % 200) % 10) AS canonical_url
+        | FROM documents)
+        |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM c GROUP BY 1""".stripMargin,
+
     "multimodal_features" -> OracleSql.multimodalFeatures,
 
     // n_bytes = 44-byte canonical RIFF/WAVE header + 2 bytes per 16-bit
@@ -1408,6 +1439,36 @@ object QueryCatalog {
 
   private def sqlMinhashSig: String =
     s"WITH ${sqlShingleCte(3)} $sqlMinhashFromSh"
+
+  /** Full simhash near-dup pair oracle (also the edge source for the
+    * `dedup_clusters` recursive-CTE closure). */
+  private def sqlSimhashPairs: String =
+    s"""WITH tok AS (
+       | SELECT DISTINCT doc_id, md5(text) AS th, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), h AS (SELECT doc_id, th, ${h60sql("tok")} AS h FROM tok),
+       |bits AS (
+       | SELECT doc_id, th, b.b AS b, SUM(((h >> b.b) & 1) * 2 - 1) AS s
+       | FROM h, range(0, 60) b(b) GROUP BY 1, 2, 3),
+       |sig AS (
+       | SELECT doc_id, th, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       | FROM bits GROUP BY 1, 2),
+       |blocks AS (
+       | SELECT doc_id, th, simhash, q.q AS q, (simhash >> (q.q * 15)) & 32767 AS qk
+       | FROM sig, range(0, 4) q(q)),
+       |hot AS (
+       | SELECT q, qk FROM (
+       |  SELECT q, qk, count(DISTINCT th) AS df FROM blocks GROUP BY 1, 2)
+       | WHERE df > ${Dedup.QuarterDfCap}),
+       |blk AS (
+       | SELECT b.doc_id, b.simhash, b.q, b.qk
+       | FROM blocks b ANTI JOIN hot h ON b.q = h.q AND b.qk = h.qk),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+       |   y.doc_id AS doc_b, y.simhash AS sim_b
+       | FROM blk x JOIN blk y
+       |  ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 12""".stripMargin
 
   private def sqlCosine =
     "round(list_dot_product(v.e, q.qe) / sqrt(list_dot_product(v.e, v.e)) / sqrt(list_dot_product(q.qe, q.qe)), 6)"

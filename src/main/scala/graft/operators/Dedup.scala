@@ -404,6 +404,61 @@ object Dedup {
     } else pairsOn(docs)._1
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over an undirected
+    * near-dup pair list (the step between "pairs" and "keepers" in a real
+    * dedup pipeline — every doc maps to its component's min doc_id, the
+    * keeper). Min-label propagation, pure DataFrame ops:
+    * per iteration each node takes the min of its own and its neighbors'
+    * labels (one equi-join + one partial-aggregated groupBy — both map-side
+    * combined), until a fixpoint. Iterations = component diameter; near-dup
+    * components are band-/shingle-blocked near-cliques (diameter ≤ ~3), so
+    * the loop is 3–4 rounds of O(E) shuffles at any corpus size. For an
+    * adversarial long-chain graph the alternating large-star/small-star
+    * scheme (Kiveris et al., "Connected Components in MapReduce") drops
+    * iterations to O(log n); the propagation loop below is the right
+    * default for dedup graphs and fails loudly at `maxIter` rather than
+    * silently emitting unconverged labels.
+    *
+    * pairs: (doc_a, doc_b); returns (node, label) for every node in pairs,
+    * label = min doc_id of its component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // eager localCheckpoint, NOT plain persist: an iterative loop over
+    // persisted frames still re-analyzes the whole accumulated logical plan
+    // (including the pair producer's full lineage, referenced twice by the
+    // union) every iteration — the driver pays O(iterations × plan) analysis
+    // and eventually OOMs. Checkpointing truncates the plan to the cached
+    // blocks so every iteration analyzes a constant-size tree. On a
+    // cluster, swap for reliable `checkpoint()` against the checkpoint dir
+    // so executor loss replays from storage instead of recomputing.
+    // materialize the pair producer ONCE before the symmetric union (the
+    // union's two branches would otherwise each run the full LSH pipeline)
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges.join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels.unionByName(nbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    edges.unpersist()
+    labels
+  }
+
   /** (doc_id, th, simhash); th carried for distinct-text DF accounting. */
   private def simhashTh(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), md5(col("text")).as("th"),

@@ -100,4 +100,43 @@ object TextOps {
       (sum(col("h") % lit(1000000007L)) % lit(1000000007L)).as("fp_fold"),
       count(lit(1)).as("n_windows"))
   }
+
+  /** URL canonicalization for web-corpus dedup (the Common-Crawl first
+    * pass: the same page crawled under `HTTPS://Host:443/p?utm_source=…#x`
+    * and `https://host/p` must collapse). Rules: lowercase scheme+host,
+    * drop the scheme's default port, drop the fragment, drop tracking
+    * params (utm_*, fbclid, gclid), sort surviving params, empty path → /.
+    * Real java.net.URI parsing — the driver oracle predicts the canonical
+    * string analytically from the synth formula, so a broken parse or rule
+    * cannot hash-match. */
+  def canonicalizeUrl(raw: String): String = {
+    val u = new java.net.URI(raw.trim)
+    val scheme = u.getScheme.toLowerCase
+    val host = u.getHost.toLowerCase
+    val defaultPort = scheme match { case "http" => 80; case "https" => 443; case _ => -1 }
+    val portPart = if (u.getPort == -1 || u.getPort == defaultPort) "" else s":${u.getPort}"
+    val path = if (u.getPath == null || u.getPath.isEmpty) "/" else u.getPath
+    val params = Option(u.getQuery).map(_.split("&").toSeq).getOrElse(Seq.empty)
+      .filter { p =>
+        val k = p.takeWhile(_ != '=').toLowerCase
+        !(k.startsWith("utm_") || k == "fbclid" || k == "gclid")
+      }.sorted
+    val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    s"$scheme://$host$portPart$path$q"
+  }
+
+  /** Canonical-URL dedup over a (doc_id, url) table: one row per canonical
+    * URL with its crawl count and min-doc_id keeper. The canonicalize map
+    * is the only non-codegen step (URI parsing); the groupBy partial-
+    * aggregates map-side, so the shuffle carries one row per DISTINCT
+    * canonical URL per partition — the 100-TB shape. */
+  def urlDedup(urls: DataFrame): DataFrame = {
+    import urls.sparkSession.implicits._
+    urls.select(col("doc_id").cast("long"), col("url"))
+      .as[(Long, String)]
+      .map { case (id, u) => (id, canonicalizeUrl(u)) }
+      .toDF("doc_id", "canonical_url")
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
+  }
 }

@@ -53,6 +53,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((3L, 20000L)))
   }
 
+  test("connected components: planted chain, clique, and singletons resolve to min-id keepers") {
+    import spark.implicits._
+    // chain 0-1-2-3-4 (diameter 4 — exercises multi-round propagation),
+    // clique {10,11,12}, pair {20,21}; nodes 30.. are absent from pairs
+    val pairs = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++ Seq((21L, 20L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((10L to 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 10) // only nodes that appear in pairs
+    // and against the real near-dup graph: every exact-copy doc must land
+    // in its original's cluster
+    val realPairs = Dedup.simhashPairs(docsWithDups, maxHamming = 3)
+    val cc = Dedup.connectedComponents(realPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(k => assert(cc(k + 10000) == cc(k)))
+  }
+
   test("degenerate inputs: short texts produce no shingles and no crashes") {
     import spark.implicits._
     val tiny = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")

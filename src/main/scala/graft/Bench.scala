@@ -107,7 +107,8 @@ object Bench {
       "text_quality", "doc_fingerprint", "extract_chips", "filter_chips",
       "polygonize_dissolve", "smooth_stitch", "scale_minmax", "histogram_match",
       "generalize_3857", "spatial_filter_gaussian", "spatial_filter_median",
-      "retile_64", "streaming_counts", "rescale_percentiles", "multimodal_audio")
+      "retile_64", "streaming_counts", "rescale_percentiles", "multimodal_audio",
+      "dedup_clusters", "url_dedup")
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val q0 = System.nanoTime()

@@ -443,10 +443,23 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // step 1: neighbor-min — each node takes the min label in its
+      // closed neighborhood
       val nbr = edges.join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .select(col("u").as("node"), col("label"))
-      val next = labels.unionByName(nbr)
+      val relaxed = labels.unionByName(nbr)
         .groupBy("node").agg(min("label").as("label"))
+      // step 2: pointer jumping (path halving) — follow label→label(label)
+      // one hop (every label is itself a node id, so the self-join always
+      // resolves). Neighbor-min alone converges in O(diameter) rounds — an
+      // adversarial CHAIN of n near-dups would need n rounds and trip
+      // maxIter; with halving the label graph's depth halves every round,
+      // giving O(log n) total. Near-clique dedup graphs still converge in
+      // 2-3 rounds; the halving join is over the (tiny) label table.
+      val next = relaxed
+        .join(relaxed.select(col("node").as("label"), col("label").as("label2")),
+          Seq("label"))
+        .select(col("node"), least(col("label"), col("label2")).as("label"))
         .localCheckpoint(true)
       changed = next.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
         .where(col("label") =!= col("old")).count()

@@ -74,6 +74,16 @@ class DedupSpec extends AnyFunSuite {
     (0L until 10L).foreach(k => assert(cc(k + 10000) == cc(k)))
   }
 
+  test("connected components: adversarial 2000-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for plain neighbor-min propagation
+    // (diameter = n); pointer jumping must close it well inside maxIter
+    val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxIter = 25).collect()
+    assert(got.length == 2000)
+    assert(got.forall(_.getLong(1) == 0L), "whole chain is one component rooted at 0")
+  }
+
   test("degenerate inputs: short texts produce no shingles and no crashes") {
     import spark.implicits._
     val tiny = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")

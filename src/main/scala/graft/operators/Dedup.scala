@@ -437,9 +437,13 @@ object Dedup {
       .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
+    // `ckpt` is the frame actually holding checkpoint blocks (unpersist
+    // target — unpersisting a projection of it would be a no-op and leak);
+    // `labels` is the (node, label) view the joins use
+    var ckpt = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    var labels = ckpt
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -456,15 +460,21 @@ object Dedup {
       // maxIter; with halving the label graph's depth halves every round,
       // giving O(log n) total. Near-clique dedup graphs still converge in
       // 2-3 rounds; the halving join is over the (tiny) label table.
+      // the convergence flag rides INSIDE the checkpointed frame (one join
+      // with the previous labels before materialization), so the `changed`
+      // count is a scan of cached blocks, not an extra shuffle job
       val next = relaxed
         .join(relaxed.select(col("node").as("label"), col("label").as("label2")),
           Seq("label"))
         .select(col("node"), least(col("label"), col("label2")).as("label"))
+        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .withColumn("chg", col("label") =!= col("old"))
+        .select("node", "label", "chg")
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
-        .where(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.where(col("chg")).count()
+      ckpt.unpersist()
+      ckpt = next
+      labels = next.drop("chg")
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")

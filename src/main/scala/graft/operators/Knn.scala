@@ -84,6 +84,8 @@ object Knn {
       r = math.min(r * 2, maxR)
     }
     remaining.unpersist()
+    pts.unpersist() // per-round topk frames are persisted+materialized; the
+                    // final union reads them, never the points table again
     if (finished.isEmpty) {
       import spark.implicits._
       Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "id", "dist2")

@@ -318,6 +318,21 @@ object QueryCatalog {
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
+    // deterministic train/val/test split: engine-portable hash bucket
+    // (md5-60bit mod 100 — the same h60 the dedup family uses) so the
+    // assignment is reproducible across engines, runs, and partitionings;
+    // 80/10/10 by bucket. Split sizes and id-sums are the audit surface.
+    "dataset_split" -> ((s, dir) => {
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+      docs(s, dir).select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+    }),
+
     // canonical-URL dedup: deterministically MESSY urls per doc (upper-case
     // scheme/host on every 3rd, explicit :443 on every 2nd, utm param on
     // every 5th, fragment on every 7th) must collapse to the clean form the
@@ -380,6 +395,11 @@ object QueryCatalog {
       Streaming.dedupStream(s, dir, s"$tmp/ckpt", s"$tmp/out")
       s.read.parquet(s"$tmp/out")
     }),
+    // STREAM-STREAM interval join: watermarked self-join of the events
+    // stream ("b follows a within 1h, same user") — complete on an
+    // AvailableNow run, so pair counts equal the batch interval self-join
+    "streaming_join" -> ((s, dir) => Streaming.streamStreamJoin(s, dir)),
+
     // STREAM-STATIC spatial join — the live-ingest form of the flagship:
     // documents arrive as a file stream, join the broadcast static tile
     // cover on cell, exact point-in-window refine, per-tile counts in
@@ -1250,6 +1270,23 @@ object QueryCatalog {
          | ${mx(s"(($C + 355 * $A) + 45 * $A)")},
          | ${my(s"(($F + 88 * ($E)) + 62 * ($E))")}""".stripMargin
     },
+
+    "streaming_join" ->
+      """SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
+
+    "dataset_split" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  ${h60sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         | FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n_docs, sum(doc_id) AS sum_ids
+         |FROM d GROUP BY 1""".stripMargin,
 
     // the canonical form is predicted analytically (the casing/port/utm/
     // fragment noise must all normalize away)

@@ -74,6 +74,35 @@ object Streaming {
     q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
   }
 
+  /** STREAM-STREAM interval join (the remaining §2.9 primitive): two
+    * watermarked file streams over the same events table, inner-joined per
+    * user on "b strictly follows a within 1 hour" — the funnel/sessionize
+    * shape. Both sides carry 2-hour watermarks and the join condition
+    * time-bounds b_ts relative to a_ts, so Spark can expire join state;
+    * with AvailableNow over a static file the joined pair set is complete
+    * and equals the batch interval self-join, which is what the oracle
+    * checks (pair counts per (a_type, b_type)). The join output streams
+    * append-mode into the memory sink; the final count aggregation runs in
+    * BATCH over the sink (stream-stream join + streaming agg in one query
+    * would need another watermark hop and buys nothing for the oracle). */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(prefix: String): DataFrame =
+      tableStream(spark, sfDir, "events")
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ → LTZ for watermarks
+        .select(col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"),
+          col("user_id"), col("event_type").as(s"${prefix}_type"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    val a = side("a")
+    val b = side("b").withColumnRenamed("user_id", "b_user")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+    val pairs = runToMemory(
+      joined.select("a_id", "b_id", "a_type", "b_type"), mode = "append")
+    pairs.groupBy("a_type", "b_type").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Streaming exact dedup with CUSTOM state (flatMapGroupsWithState —
     * the §2.9 stateful-operator surface): content-hash keyed; the first
     * micro-batch that sees a hash emits (hash, min doc_id in that batch)

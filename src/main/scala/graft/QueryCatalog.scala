@@ -318,6 +318,22 @@ object QueryCatalog {
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
+    // PII redaction: deterministic email + (on every 4th doc) phone noise
+    // is appended to each text; the codegen regex pass must find and
+    // replace exactly it — the oracle predicts counts and the scrubbed
+    // length analytically (base texts contain no '@' and no phone-shaped
+    // digit runs, so the injected noise is the complete match set)
+    "pii_redact" -> ((s, dir) => {
+      val noisy = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id") % 50,
+          lit("@mail"), col("doc_id") % 7, lit(".com now"),
+          when(col("doc_id") % 4 === 0, lit(" call 555-123-4567")).otherwise(lit(""))))
+      TextOps.redactPii(noisy)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("text")).as("redacted_len"))
+    }),
+
     // deterministic train/val/test split: engine-portable hash bucket
     // (md5-60bit mod 100 — the same h60 the dedup family uses) so the
     // assignment is reproducible across engines, runs, and partitionings;
@@ -1277,6 +1293,16 @@ object QueryCatalog {
         | ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY 1, 2""".stripMargin,
+
+    // the redacted length is pure arithmetic: ' contact user<a>@mail<b>.com
+    // now' collapses to ' contact <EMAIL> now' (+20 over the base text) and
+    // ' call 555-123-4567' to ' call <PHONE>' (+13)
+    "pii_redact" ->
+      """SELECT doc_id,
+        | CAST(1 AS INT) AS n_emails,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_phones,
+        | CAST(length(text) + 20 + CASE WHEN doc_id % 4 = 0 THEN 13 ELSE 0 END AS INT) AS redacted_len
+        |FROM documents""".stripMargin,
 
     "dataset_split" ->
       s"""WITH d AS (

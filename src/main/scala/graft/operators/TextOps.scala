@@ -101,6 +101,27 @@ object TextOps {
       count(lit(1)).as("n_windows"))
   }
 
+  /** PII scrubbing for web corpora: redact emails and phone-shaped digit
+    * runs (the standard pre-training cleanup pass). Pure codegen
+    * `regexp_replace`/`regexp_extract_all` — the patterns use only
+    * character classes, quantifiers and word boundaries, portable across
+    * Java regex and RE2. Emits per-doc redaction counts alongside the
+    * scrubbed text so the quarantine accounting is queryable (north-rule
+    * style: nothing silently dropped). */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val emails = size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+    val phones = size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+    val scrubbed = regexp_replace(
+      regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+    docs.withColumn("n_emails", emails)
+      .withColumn("n_phones", phones)
+      .withColumn(textCol, scrubbed)
+  }
+
   /** URL canonicalization for web-corpus dedup (the Common-Crawl first
     * pass: the same page crawled under `HTTPS://Host:443/p?utm_source=…#x`
     * and `https://host/p` must collapse). Rules: lowercase scheme+host,

@@ -15,7 +15,8 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "spatial_join_tiles", "knn", "dedup_minhash_lsh", "ann_topk")
+      else Seq("q1_agg", "spatial_join_tiles", "knn", "knn_large",
+        "dedup_minhash_lsh", "ann_topk", "url_dedup", "pii_redact")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       graft.SparkEntry.queries.get(n) match {

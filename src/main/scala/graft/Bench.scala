@@ -109,7 +109,7 @@ object Bench {
       "generalize_3857", "spatial_filter_gaussian", "spatial_filter_median",
       "retile_64", "streaming_counts", "rescale_percentiles", "multimodal_audio",
       "dedup_clusters", "url_dedup", "pii_redact", "dataset_split",
-      "extract_chips_bands", "streaming_join")
+      "extract_chips_bands", "streaming_join", "sequence_pack")
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val q0 = System.nanoTime()

@@ -318,6 +318,16 @@ object QueryCatalog {
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
+    // sequence packing: global-order sequential fill into 256-token bins
+    // via a distributed prefix sum (per-partition totals + broadcast
+    // offsets — never a single-task global window); per-bin stats are the
+    // audit surface and the result is partition-count-invariant
+    "sequence_pack" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir), capacity = 256)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))),
+
     // PII redaction: deterministic email + (on every 4th doc) phone noise
     // is appended to each text; the codegen regex pass must find and
     // replace exactly it — the oracle predicts counts and the scrubbed
@@ -1293,6 +1303,20 @@ object QueryCatalog {
         | ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY 1, 2""".stripMargin,
+
+    "sequence_pack" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM t)
+        |SELECT prefix // 256 AS bin, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1""".stripMargin,
 
     // the redacted length is pure arithmetic: ' contact user<a>@mail<b>.com
     // now' collapses to ' contact <EMAIL> now' (+20 over the base text) and

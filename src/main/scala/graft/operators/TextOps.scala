@@ -101,6 +101,51 @@ object TextOps {
       count(lit(1)).as("n_windows"))
   }
 
+  /** Sequence packing for training batches: assign docs (in global doc_id
+    * order) to fixed-capacity token bins — bin = ⌊tokens-before-doc /
+    * capacity⌋, the sequential-fill contract. The global running sum is a
+    * DISTRIBUTED PREFIX SUM, not a global window (which would sort
+    * everything in ONE task): range-partition by doc_id, per-partition
+    * token totals (one row per partition) to the driver, broadcast the
+    * cumulative offsets back, then a partition-local scan. Bin assignment
+    * is partition-count-invariant by construction — offsets are computed
+    * against whatever boundaries the range partitioner picked. */
+  def packSequences(docs: DataFrame, capacity: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.TaskContext
+    val parts = docs
+      .select(col("doc_id").cast("long"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val partTotals = parts.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](partTotals.length + 1)
+    partTotals.foreach { case (pid, s) => offsets(pid + 1) = s }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = parts.mapPartitions { it =>
+      var acc = bc.value(TaskContext.getPartitionId())
+      it.map { case (id, n) =>
+        val bin = acc / capacity
+        acc += n
+        (id, n, bin)
+      }
+    }.toDF("doc_id", "n_tokens", "bin")
+    // `parts` stays persisted until the caller's terminal action: the
+    // offsets were computed against ITS materialized partition boundaries,
+    // and the result must scan those same cached partitions (see the
+    // session-level cache contract in Dedup's scaladoc)
+    out
+  }
+
   /** PII scrubbing for web corpora: redact emails and phone-shaped digit
     * runs (the standard pre-training cleanup pass). Pure codegen
     * `regexp_replace`/`regexp_extract_all` — the patterns use only

@@ -318,6 +318,29 @@ object QueryCatalog {
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
+    // end-to-end composition: the pipeline ops chained the way a real
+    // training-data job runs them — inject noise → PII-redact → token-count
+    // the SCRUBBED text → quality-filter → hash-split → per-split stats.
+    // The oracle replays every stage analytically (redaction adds exactly
+    // 'contact <EMAIL> now' (+3 tokens) and optionally 'call <PHONE>' (+2))
+    "pipeline_e2e" -> ((s, dir) => {
+      val noisy = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id") % 50,
+          lit("@mail"), col("doc_id") % 7, lit(".com now"),
+          when(col("doc_id") % 4 === 0, lit(" call 555-123-4567")).otherwise(lit(""))))
+      val clean = TextOps.redactPii(noisy)
+      val counted = clean.withColumn("n_tokens", size(split(col("text"), " ")))
+        .where(col("n_tokens") >= 20)
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+      counted.withColumn("split",
+          when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     // sequence packing: global-order sequential fill into 256-token bins
     // via a distributed prefix sum (per-partition totals + broadcast
     // offsets — never a single-task global window); per-bin stats are the
@@ -1303,6 +1326,18 @@ object QueryCatalog {
         | ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY 1, 2""".stripMargin,
+
+    "pipeline_e2e" ->
+      s"""WITH t AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) + 3
+         |       + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS INT) AS n_tokens,
+         |  ${h60sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         | FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         | lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM t WHERE n_tokens >= 20 GROUP BY 1, 2""".stripMargin,
 
     "sequence_pack" ->
       """WITH t AS (

@@ -35,7 +35,7 @@ object Main {
       .appName(s"graft-${args.head}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.head, parse(args.tail))
+    try run(spark, args.head, parse(args.tail.toIndexedSeq))
     finally spark.stop()
   }
 

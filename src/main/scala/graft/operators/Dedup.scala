@@ -437,6 +437,7 @@ object Dedup {
       .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
+    p.unpersist() // edges holds its own blocks now
     // `ckpt` is the frame actually holding checkpoint blocks (unpersist
     // target — unpersisting a projection of it would be a no-op and leak);
     // `labels` is the (node, label) view the joins use

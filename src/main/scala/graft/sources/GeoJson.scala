@@ -38,7 +38,7 @@ object GeoJson {
           if (!g.isValid) None
           else {
             val props = Option(f.get("properties")).filter(!_.isNull).map { p =>
-              val it = p.fields()
+              val it = p.properties().iterator()
               val b = Map.newBuilder[String, String]
               while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
               b.result()

@@ -559,6 +559,21 @@ object QueryCatalog {
       }.toDF("i", "j", "band", "sum_u8")
     }),
 
+    // M1 "s2_rgb_extra" mode (reference utils.py:122-127, the CLI default
+    // path console/extract_chips.py:281-297): percentile ranges per band
+    // with the first 3 bands FORCED to (0, 0.3) — the Sentinel-2 true-color
+    // convention. Same order-statistics oracle as rescale_percentiles with
+    // the forced literals on bands 1–3; band 4 keeps the (2,98) lerp.
+    "rescale_s2_rgb_extra" -> ((s, _) => {
+      import s.implicits._
+      Fixtures.luxTiles(s).flatMap { t =>
+        graft.core.RasterMath.rescaleIntensity(t.pixels, "s2_rgb_extra", (2.0, 98.0))
+          .zipWithIndex.map { case (b, bi) =>
+            (t.i, t.j, bi + 1, b.map(x => (x & 0xff).toLong).sum)
+          }
+      }.toDF("i", "j", "band", "sum_u8")
+    }),
+
     "scale_minmax" -> ((s, _) => {
       import s.implicits._
       PostProcess.minmaxScale(s, Fixtures.luxTiles(s)).toDF()
@@ -1348,7 +1363,7 @@ object QueryCatalog {
         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         | FROM t)
-        |SELECT prefix // 256 AS bin, count(*) AS n_docs,
+        |SELECT CAST(prefix // 256 AS BIGINT) AS bin, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY 1""".stripMargin,
@@ -1370,7 +1385,7 @@ object QueryCatalog {
          | FROM documents)
          |SELECT CASE WHEN bucket < 80 THEN 'train'
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-         | count(*) AS n_docs, sum(doc_id) AS sum_ids
+         | count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM d GROUP BY 1""".stripMargin,
 
     // the canonical form is predicted analytically (the casing/port/utm/
@@ -1511,6 +1526,30 @@ object QueryCatalog {
          | SELECT i, j, band,
          |  MAX(CASE WHEN rn = 327 THEN v END) + (MAX(CASE WHEN rn = 328 THEN v END) - MAX(CASE WHEN rn = 327 THEN v END)) * (16383 * 2.0 / 100.0 - 327) AS lo,
          |  MAX(CASE WHEN rn = 16055 THEN v END) + (MAX(CASE WHEN rn = 16056 THEN v END) - MAX(CASE WHEN rn = 16055 THEN v END)) * (16383 * 98.0 / 100.0 - 16055) AS hi
+         | FROM ranked GROUP BY 1, 2, 3)
+         |SELECT p.i, p.j, p.band::INT AS band,
+         | CAST(SUM(CAST(trunc(((CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) - lo) / (hi - lo) * 254.0 + 1.0) AS BIGINT)) AS BIGINT) AS sum_u8
+         |FROM px p JOIN rng USING (i, j, band)
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // same order statistics, but bands 1–3 get the forced (0, 0.3) window
+    // (utils.py:122-127); only band 4 keeps the (2,98) percentile lerp
+    "rescale_s2_rgb_extra" ->
+      s"""WITH grid AS ($sqlTileGrid),
+         |px AS (
+         | SELECT i, j, b.b AS band,
+         |  CAST(CAST((b.b * 7 + (row_off + y.y) * 13 + (col_off + x.x)) % 256 AS REAL) / CAST(850 AS REAL) AS DOUBLE) AS v
+         | FROM grid, range(0, 128) y(y), range(0, 128) x(x), range(1, 5) b(b)),
+         |ranked AS (
+         | SELECT i, j, band, v,
+         |  row_number() OVER (PARTITION BY i, j, band ORDER BY v) - 1 AS rn
+         | FROM px),
+         |rng AS (
+         | SELECT i, j, band,
+         |  CASE WHEN band <= 3 THEN 0.0 ELSE
+         |   MAX(CASE WHEN rn = 327 THEN v END) + (MAX(CASE WHEN rn = 328 THEN v END) - MAX(CASE WHEN rn = 327 THEN v END)) * (16383 * 2.0 / 100.0 - 327) END AS lo,
+         |  CASE WHEN band <= 3 THEN 0.3 ELSE
+         |   MAX(CASE WHEN rn = 16055 THEN v END) + (MAX(CASE WHEN rn = 16056 THEN v END) - MAX(CASE WHEN rn = 16055 THEN v END)) * (16383 * 98.0 / 100.0 - 16055) END AS hi
          | FROM ranked GROUP BY 1, 2, 3)
          |SELECT p.i, p.j, p.band::INT AS band,
          | CAST(SUM(CAST(trunc(((CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) - lo) / (hi - lo) * 254.0 + 1.0) AS BIGINT)) AS BIGINT) AS sum_u8

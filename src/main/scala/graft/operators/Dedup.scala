@@ -188,14 +188,32 @@ object Dedup {
     if (r.isNullAt(0)) 0L else (r.getLong(0) / SkewProbeFraction).toLong
   }
 
+  /** Hot-key-set size above which the anti-join build side is SHUFFLED
+    * instead of broadcast. The hot set holds every key whose DF exceeds the
+    * cap — bounded by |distinct (key, th) rows| / cap, NOT by
+    * [[HotKeyWindowRowLimit]] — so on the degenerate corpora this path is
+    * selected for it can reach millions of keys and a forced broadcast
+    * would OOM the driver. 1M keys ≈ tens of MB broadcast, a safe bound. */
+  val HotKeySetBroadcastLimit = 1000000L
+
+  /** Anti-join `rows` against a hot-key set, broadcasting only when the set
+    * is MEASURED small (one count over the already-aggregated keys — the
+    * shuffle that produced them is cached by the count and reused by the
+    * join). Above [[HotKeySetBroadcastLimit]] the plain shuffle anti-join
+    * costs one more exchange of `rows` but cannot OOM the driver. */
+  private[graft] def antiJoinHotKeys(rows: DataFrame, hot: DataFrame,
+                                     keyCols: Seq[String]): DataFrame = {
+    val h = hot.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val small = h.count() <= HotKeySetBroadcastLimit
+    rows.join(if (small) broadcast(h) else h, keyCols, "left_anti")
+  }
+
   /** Wide 3-exchange form of the DF cap for degenerate key skew: map-side
     * partial dedup of (key, th) via distinct(), per-key distinct-text
     * counts via hash aggregation (the hottest key's final count receives
-    * one partial row per map partition — never a single-task sort), then a
-    * BROADCAST anti-join so the data rows are never shuffled at all. The
-    * broadcast is bounded by construction: this path is selected only when
-    * one key's multiplicity exceeds [[HotKeyWindowRowLimit]], so keys that
-    * hot number at most |rows|/rowLimit — a handful, not millions. */
+    * one partial row per map partition — never a single-task sort), then an
+    * anti-join whose build side is broadcast only while measured under
+    * [[HotKeySetBroadcastLimit]] (see [[antiJoinHotKeys]]). */
   private[graft] def dropHotKeysWide(rows: DataFrame, keyCols: Seq[String],
                                      cap: Int): DataFrame = {
     val kcols = keyCols.map(col)
@@ -203,7 +221,7 @@ object Dedup {
       .groupBy(kcols: _*).agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
       .select(kcols: _*)
-    rows.join(broadcast(hot), keyCols, "left_anti")
+    antiJoinHotKeys(rows, hot, keyCols)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
   }
 

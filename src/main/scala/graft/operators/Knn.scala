@@ -78,7 +78,13 @@ object Knn {
         .select("qid", "rank", "id", "dist2")
       val stillGoing = remaining.join(doneQ, Seq("qid"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      nRemaining = if (r >= maxR) 0L else stillGoing.count()
+      // run the count action UNCONDITIONALLY: it materializes stillGoing and,
+      // through doneQ → stats, caches this round's topk frame. Skipping it in
+      // the final round (r >= maxR) would leave that topk lazy, and the
+      // returned union would recompute its candidate join AFTER
+      // pts.unpersist() below — a full uncached re-scan of the points table.
+      val nStill = stillGoing.count()
+      nRemaining = if (r >= maxR) 0L else nStill
       remaining.unpersist()
       remaining = stillGoing
       r = math.min(r * 2, maxR)

@@ -178,7 +178,11 @@ object Similarity {
         val hot = bandRows.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("df")).where(col("df") > bucketCap)
           .select("band", "key")
-        bandRows.join(broadcast(hot), Seq("band", "key"), "left_anti")
+        // broadcast only while the hot-bucket set is measured small — it is
+        // bounded by |band rows|/bucketCap, not by hotKeyRowLimit, so a
+        // forced broadcast could OOM the driver on the degenerate corpora
+        // this branch exists for (see Dedup.antiJoinHotKeys)
+        Dedup.antiJoinHotKeys(bandRows, hot, Seq("band", "key"))
       } else
         bandRows.withColumn("df", count(lit(1)).over(pw))
           .where(col("df") <= bucketCap).drop("df")

@@ -157,11 +157,15 @@ object TextOps {
   val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // counts are REPLACEMENT counts, not raw pattern occurrences: phones are
+    // counted on the email-scrubbed intermediate, exactly the text the phone
+    // replacement runs on. Counting both on the raw text diverges when the
+    // patterns overlap (a phone-shaped run inside an email local part like
+    // 123-456-7890@x.com would report n_phones=1 with no phone replaced).
+    val emailScrubbed = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
     val emails = size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
-    val phones = size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
-    val scrubbed = regexp_replace(
-      regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-      PhonePattern, "<PHONE>")
+    val phones = size(regexp_extract_all(emailScrubbed, lit(PhonePattern), lit(0)))
+    val scrubbed = regexp_replace(emailScrubbed, PhonePattern, "<PHONE>")
     docs.withColumn("n_emails", emails)
       .withColumn("n_phones", phones)
       .withColumn(textCol, scrubbed)

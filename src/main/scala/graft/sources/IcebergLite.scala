@@ -36,6 +36,12 @@ class IcebergLite(root: String, spark: SparkSession) {
   private def versionFile = Paths.get(root, "VERSION")
   private def seqFile = Paths.get(root, "SEQ")
 
+  /** NIO directory streams hold an open fd until closed — every
+    * Files.list/Files.walk here runs under this loan so maintenance calls
+    * can't leak descriptors. */
+  private def withStream[A, B](s: java.util.stream.Stream[A])(f: java.util.stream.Stream[A] => B): B =
+    try f(s) finally s.close()
+
   /** Committed snapshot ids in commit order (VERSION file, one per line). */
   def committedSnapshots(): Seq[Long] =
     if (Files.exists(versionFile))
@@ -157,8 +163,8 @@ class IcebergLite(root: String, spark: SparkSession) {
     val dataRootDir = Paths.get(root, "data")
     val subs: Seq[String] =
       if (Files.exists(dataRootDir))
-        Files.list(dataRootDir).iterator().asScala.filter(Files.isDirectory(_))
-          .map(_.getFileName.toString).toSeq
+        withStream(Files.list(dataRootDir))(_.iterator().asScala
+          .filter(Files.isDirectory(_)).map(_.getFileName.toString).toList)
       else Seq.empty
     subs.foreach { sub =>
       val df = readData(sub)
@@ -169,8 +175,15 @@ class IcebergLite(root: String, spark: SparkSession) {
     val mfRows =
       if (mf.schema.nonEmpty) {
         val compacted = mf.drop("snapshot_id").withColumn("snapshot_id", lit(snap))
+        // ORDERING CONTRACT: count BEFORE the append below — the count's scan
+        // lists the manifest directory at action time, so counting after the
+        // append would scan the freshly written file too and depend on the
+        // committed-ids filter (built before `snap` existed) to exclude it.
+        // The write itself is safe: its read-side file index is resolved at
+        // job planning, before any output file commits.
+        val n = compacted.count()
         compacted.coalesce(1).write.mode(SaveMode.Append).parquet(s"$metaDir/manifests")
-        compacted.count()
+        n
       } else 0L
     Seq((snap, System.currentTimeMillis(), "compact", mfRows))
       .toDF("snapshot_id", "ts_ms", "operation", "rows")
@@ -185,22 +198,27 @@ class IcebergLite(root: String, spark: SparkSession) {
     // per-file id scan, so the directory stays readable at every instant)
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
-      Files.walk(dataRoot, 2).filter(p =>
-          p.getFileName.toString.startsWith("snapshot_id=") &&
-            p.getFileName.toString != s"snapshot_id=$snap")
-        .forEach { dir =>
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(Files.delete(_))
-        }
+      val superseded = withStream(Files.walk(dataRoot, 2))(_.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapshot_id=") &&
+          p.getFileName.toString != s"snapshot_id=$snap").toList)
+      superseded.foreach { dir =>
+        withStream(Files.walk(dir))(_.sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.delete(_)))
+      }
     }
+    // manifest expiry in ONE distributed pass: read the directory once with
+    // input_file_name() and delete files none of whose rows carry the live
+    // snapshot id — the old per-file driver loop planned O(files) separate
+    // read jobs, quadratic driver work over a long-lived table's lifetime
     val mfDir = Paths.get(metaDir, "manifests")
     if (Files.exists(mfDir)) {
-      Files.list(mfDir).filter(_.getFileName.toString.endsWith(".parquet"))
-        .forEach { f =>
-          val ids = spark.read.parquet(f.toString)
-            .select("snapshot_id").distinct().as[Long].collect()
-          if (!ids.contains(snap)) Files.delete(f)
-        }
+      val dead = spark.read.parquet(mfDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(max(when(col("snapshot_id") === snap, 1).otherwise(0)).as("live"))
+        .where(col("live") === 0)
+        .select("f").as[String].collect()
+      dead.foreach(f => Files.deleteIfExists(Paths.get(new java.net.URI(f))))
     }
     snap
   }

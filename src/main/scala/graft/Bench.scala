@@ -110,22 +110,46 @@ object Bench {
       "retile_64", "streaming_counts", "rescale_percentiles", "multimodal_audio",
       "dedup_clusters", "url_dedup", "pii_redact", "dataset_split",
       "extract_chips_bands", "streaming_join", "sequence_pack")
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - q0) / 1e9
-        // drop the query's persisted blocking intermediates (dedup/
-        // similarity persist several DataFrames each) so later queries
-        // aren't timed under accumulated cache pressure
-        spark.catalog.clearCache()
-        name -> dt
-      }
+    // min-of-N per query: this host's CPU-steal bursts inflate single-shot
+    // walls by up to 10× (BENCH/BASELINE.md), and one burst used to taint a
+    // whole round's recorded artifact. Two samples spaced a full catalog
+    // apart make a burst visible instead of fatal; the min is the engine
+    // number. SPARK_GRAFT_QUERY_RUNS overrides (1 restores single-shot).
+    val queryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "2").toInt
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - q0) / 1e9
+      // drop the query's persisted blocking intermediates (dedup/
+      // similarity persist several DataFrames each) so later queries
+      // aren't timed under accumulated cache pressure
+      spark.catalog.clearCache()
+      dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = flagshipSec + results.map(_._2).sum
+    // pass p runs the whole catalog before pass p+1 re-times any query, so
+    // the two samples of one query never share a congestion burst
+    val samples = (1 to queryRuns).map { _ =>
+      headline.flatMap(name => SparkEntry.queries.get(name).map(fn => name -> timeQuery(fn)))
+    }
+    val results = samples.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toMap
+    val ordered = headline.filter(results.contains)
+    // end-of-run congestion sentinel: the flagship again, fresh plan. A
+    // quiet run reads within noise of flagship_sec; a large ratio means the
+    // host was bursty DURING this artifact and its walls are suspect.
+    // FLAGSHIP_ONLY runs (pinned scaling pairs) skip it — nothing ran after
+    // the best-of-3, so there is no window for a sentinel to bound.
+    val sentinelSec =
+      if (headline.isEmpty) flagshipSec
+      else {
+        val s0 = System.nanoTime()
+        flagshipAgg().head()
+        (System.nanoTime() - s0) / 1e9
+      }
+    val qs = ordered.map(k => "\"" + k + f"""":${results(k)}%.3f""").mkString("{", ",", "}")
+    val total = flagshipSec + ordered.map(results).sum
     println(
-      f"""{"metric":"tiles+chips emitted per second","value":$throughput%.1f,"unit":"tiles+chips/sec","flagship_sec":$flagshipSec%.3f,"flagship_pages":$nPages,"tiles_assigned":$tilesAssigned,"chips":$nChips,"bad_text":$badText,"parallelism":$cpus,"shuffle_write_mb":$shuffleMb%.1f,"total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"tiles+chips emitted per second","value":$throughput%.1f,"unit":"tiles+chips/sec","flagship_sec":$flagshipSec%.3f,"flagship_sentinel_sec":$sentinelSec%.3f,"query_runs":$queryRuns,"flagship_pages":$nPages,"tiles_assigned":$tilesAssigned,"chips":$nChips,"bad_text":$badText,"parallelism":$cpus,"shuffle_write_mb":$shuffleMb%.1f,"total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

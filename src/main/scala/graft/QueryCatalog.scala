@@ -478,6 +478,20 @@ object QueryCatalog {
           rescaleMode = Some("values"), rescaleRange = (0.0, 0.3)))
       ChipPipeline.footprints(chips)
     }),
+    // F1 `--within` mode (reference chips.py:196-200, CLI flag
+    // console/extract_chips.py:83-96): keep a chip only when the AOI
+    // CONTAINS its bbox, not merely intersects it. Same pipeline and
+    // footprint output as extract_chips; only the predicate flips — the
+    // fixture grid keeps 1 of the 4 intersecting labeled tiles.
+    "extract_chips_within" -> ((s, _) => {
+      val labels = Fixtures.labelGeoms().map { case (g, c) => (Geom.toWkb(g), c) }
+      val aoi = Geom.toWkb(Geom.unaryUnion(Fixtures.aoiGeoms()))
+      val chips = ChipPipeline.extractChips(s, Fixtures.luxTiles(s), Fixtures.luxMeta(),
+        labels = Some(labels), aoiWkb = Some(aoi),
+        cfg = ChipPipeline.ChipConfig(bands = Some(Seq(1, 2, 3, 4)),
+          rescaleMode = Some("values"), rescaleRange = (0.0, 0.3), within = true))
+      ChipPipeline.footprints(chips)
+    }),
     // F2 double-permute quirk, cross-engine-checked: write_tif re-indexes
     // the already-subset array by `bands` AGAIN (chips.py:337), so the
     // non-involution bands=(2,3,1) nets to slot→original [3,1,2] — a naive
@@ -1296,6 +1310,28 @@ object QueryCatalog {
          |  AND $C + (g.col_off + g.win_width) * $A >= ${aoiB._1}
          |  AND $F + (g.row_off + g.win_height) * ($E) <= ${aoiB._4}
          |  AND $F + g.row_off * ($E) >= ${aoiB._2})
+         |SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS INT) AS id,
+         | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
+         | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename
+         |FROM kept""".stripMargin,
+
+    // within = the AOI box contains the tile bbox: all four bound
+    // inequalities flip direction relative to the intersects form above
+    "extract_chips_within" ->
+      s"""WITH grid AS (SELECT * FROM ${OracleSql.gridValues(128, 128, "whole_overlap")}),
+         |${OracleSql.extentCountCte(labelRings)},
+         |kept AS (
+         | SELECT g.i, g.j,
+         |  $C + g.col_off * $A AS minx,
+         |  $F + (g.row_off + g.win_height) * ($E) AS miny,
+         |  $C + (g.col_off + g.win_width) * $A AS maxx,
+         |  $F + g.row_off * ($E) AS maxy
+         | FROM grid g JOIN extcnt e ON e.i = g.i AND e.j = g.j
+         | WHERE e.n_ext > 0
+         |  AND $C + g.col_off * $A >= ${aoiB._1}
+         |  AND $C + (g.col_off + g.win_width) * $A <= ${aoiB._3}
+         |  AND $F + (g.row_off + g.win_height) * ($E) >= ${aoiB._2}
+         |  AND $F + g.row_off * ($E) <= ${aoiB._4})
          |SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS INT) AS id,
          | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
          | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename

@@ -448,19 +448,26 @@ object Dedup {
     // blocks so every iteration analyzes a constant-size tree. On a
     // cluster, swap for reliable `checkpoint()` against the checkpoint dir
     // so executor loss replays from storage instead of recomputing.
-    // materialize the pair producer ONCE before the symmetric union (the
-    // union's two branches would otherwise each run the full LSH pipeline)
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // symmetrize with ONE explode pass so the pair producer runs exactly
+    // once into the checkpoint (a two-branch union would execute the full
+    // LSH pipeline twice, and checkpointing the producer first — the old
+    // form — paid an extra materialization job just to avoid that)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .localCheckpoint(true)
-    p.unpersist() // edges holds its own blocks now
+    // iteration 0 is folded into initialization: label(node) = min of the
+    // CLOSED neighborhood, one aggregation over the symmetric edges (every
+    // node appears as `u`). The old form derived the node set with a
+    // distinct and then spent a full join round to reach this same state.
     // `ckpt` is the frame actually holding checkpoint blocks (unpersist
     // target — unpersisting a projection of it would be a no-op and leak);
     // `labels` is the (node, label) view the joins use
-    var ckpt = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    var ckpt = edges.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("label"))
       .localCheckpoint(true)
     var labels = ckpt
     var changed = 1L

@@ -14,6 +14,39 @@ object Streaming {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Default state-store provider for the stateful queries below:
+    * `SPARK_GRAFT_STATE_STORE=rocksdb|hdfs` (default hdfs — the sandbox
+    * fixtures have tiny state and the HDFS-backed store has the lower
+    * fixed cost per micro-batch). */
+  def defaultStateStore: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+
+  /** Scope the streaming state-store provider around `f` and restore it.
+    * "hdfs" (the Spark default) keeps all state as JVM objects in executor
+    * heap — O(state) memory, the scale ceiling for a 100-TB dedup whose
+    * key space outgrows the heap. "rocksdb" swaps in Spark's built-in
+    * RocksDBStateStoreProvider: state lives in native memory + local SSD
+    * with changelog/snapshot files in the checkpoint dir, so state volume
+    * is bounded by disk, not heap. The provider is pinned by the FIRST run
+    * against a checkpoint (stored in the state metadata) — restarts must
+    * keep the same provider, which is why it scopes the whole query run. */
+  def withStateStoreProvider[A](spark: SparkSession, provider: String)(f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val cls = provider match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" | "default" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => other // a fully-qualified custom provider class
+    }
+    val prev = spark.conf.getOption(key)
+    try { spark.conf.set(key, cls); f }
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Drain a streaming DataFrame into a memory sink (AvailableNow) and
     * return the materialized table — the batch-parity harness every
     * oracle-checked streaming query uses. */
@@ -86,7 +119,8 @@ object Streaming {
     * BATCH over the sink (stream-stream join + streaming agg in one query
     * would need another watermark hop and buys nothing for the oracle). */
   def streamStreamJoin(spark: SparkSession, sfDir: String,
-                       statePartitions: Int = 4): DataFrame = {
+                       statePartitions: Int = 4,
+                       stateStore: String = defaultStateStore): DataFrame = {
     def side(prefix: String): DataFrame =
       tableStream(spark, sfDir, "events")
         .withColumn("ts", col("ts").cast("timestamp")) // NTZ → LTZ for watermarks
@@ -109,7 +143,9 @@ object Streaming {
     val pairs =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-        runToMemory(joined.select("a_id", "b_id", "a_type", "b_type"), mode = "append")
+        withStateStoreProvider(spark, stateStore) {
+          runToMemory(joined.select("a_id", "b_id", "a_type", "b_type"), mode = "append")
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     pairs.groupBy("a_type", "b_type").agg(count(lit(1)).as("n_pairs"))
   }
@@ -124,13 +160,18 @@ object Streaming {
     * standard streaming-dedup contract. State is checkpointed: a restart
     * emits nothing new. */
   def dedupStream(spark: SparkSession, sfDir: String,
-                  checkpoint: String, sinkDir: String): Unit = {
+                  checkpoint: String, sinkDir: String,
+                  glob: String = "documents.parquet",
+                  maxFilesPerTrigger: Option[Int] = None,
+                  stateStore: String = defaultStateStore): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(sfDir).schema
+    var rs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m => rs = rs.option("maxFilesPerTrigger", m.toString))
+    val stream = rs.parquet(sfDir)
     val out = stream.select(md5(col("text")).as("text_hash"), col("doc_id"))
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -144,10 +185,12 @@ object Streaming {
           }
       }
       .toDF("text_hash", "keeper_id")
-    val q = out.writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .format("parquet").option("path", sinkDir)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStateStoreProvider(spark, stateStore) {
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", sinkDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
   }
 }

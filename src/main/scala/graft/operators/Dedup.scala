@@ -458,6 +458,21 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .localCheckpoint(true)
+    // size the loop's shuffles to the GRAPH, not the corpus: the pair graph
+    // is orders of magnitude smaller than the documents it came from, and
+    // each iteration pays 4 exchanges whose per-task fixed cost dominates
+    // when partitions ≫ data (same lesson as the stream-stream join's
+    // state-sized shuffle). Measured from the already-materialized edge
+    // count (a cached-block scan), ~2M edges per partition, never above
+    // the session setting — at 100-TB pair volumes this keeps the session
+    // value. Scoped + restored around the whole loop.
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val graphParts = math.max(4L, math.min(sessionParts.toLong,
+      edges.count() / 2000000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+    try {
     // iteration 0 is folded into initialization: label(node) = min of the
     // CLOSED neighborhood, one aggregation over the symmetric edges (every
     // node appears as `u`). The old form derived the node set with a
@@ -506,6 +521,7 @@ object Dedup {
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     edges.unpersist()
     labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** (doc_id, th, simhash); th carried for distinct-text DF accounting. */

@@ -316,6 +316,9 @@ object QueryCatalog {
       TextOps.qualityScore(docs(s, dir))
         .withColumn("mean_token_len", fp6(col("mean_token_len")))
         .withColumnRenamed("mean_token_len", "mean_token_len_fp")),
+    // Gopher repetition+format filters (Rae et al. 2021 §A1.1) — integer
+    // signals only, so the hash gate is engine-exact
+    "text_quality_gopher" -> ((s, dir) => TextOps.gopherQuality(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
     // end-to-end composition: the pipeline ops chained the way a real
@@ -1079,6 +1082,40 @@ object QueryCatalog {
         | (len(toks) >= 15 AND (n_chars - n_spaces) / len(toks)::DOUBLE >= 2.0
         |   AND len(list_filter(toks, x -> x IN ('the','and','a','of','to','in','over'))) * 20 >= len(toks)) AS quality_ok
         |FROM t""".stripMargin,
+
+    // bigram list via zip-with-shifted-self; the zip's NULL-padded tail is
+    // filtered before the distinct. Pass-flag thresholds are the Spark
+    // side's integer comparisons verbatim.
+    "text_quality_gopher" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        |w AS (
+        | SELECT doc_id,
+        |  len(l) AS n_words,
+        |  length(replace(text, ' ', '')) AS n_letters,
+        |  len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+        |  len(list_filter(l, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+        |  (length(text) - length(replace(text, '#', '')))
+        |   + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
+        |  greatest(len(l) - 1, 0) AS n_bigrams,
+        |  greatest(len(l) - 1, 0) - len(list_distinct(list_filter(
+        |    list_transform(list_zip(l, l[2:]), s -> s[1] || ' ' || s[2]),
+        |    x -> x IS NOT NULL))) AS n_dup_bigrams
+        | FROM d)
+        |SELECT doc_id,
+        | CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_letters AS BIGINT) AS n_letters,
+        | CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+        | CAST(n_stop AS BIGINT) AS n_stop,
+        | CAST(n_symbols AS BIGINT) AS n_symbols,
+        | CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        | CAST(n_dup_bigrams AS BIGINT) AS n_dup_bigrams,
+        | (n_words >= 15 AND n_words <= 100000
+        |  AND n_letters >= n_words * 3 AND n_letters <= n_words * 10
+        |  AND n_symbols * 10 <= n_words
+        |  AND n_alpha_words * 5 >= n_words * 4
+        |  AND n_stop >= 1
+        |  AND n_dup_bigrams * 5 <= n_bigrams) AS gopher_ok
+        |FROM w""".stripMargin,
 
     "dedup_minhash" -> sqlMinhashSig,
 

@@ -146,6 +146,58 @@ object TextOps {
     out
   }
 
+  /** Gopher-style repetition + format filters (Rae et al. 2021 §A1.1, the
+    * signal set most open LLM-data pipelines reuse): word count bounds,
+    * mean word length 3–10, symbol-to-word ratio, alphabetic-word
+    * fraction, stop-word floor, duplicate-bigram fraction. All signals
+    * are emitted as INTEGER counts and the pass flag compares integers
+    * only (5·n_alpha ≥ 4·n_words instead of a 0.8 ratio) — bit-identical
+    * in any engine, no FP in the hash path. The per-token signals are
+    * codegen relational; the bigram repetition signal is the one
+    * order-dependent piece and uses the same O(tokens) typed flatMap as
+    * [[rollingFingerprints]] (a slice-of-split HOF would be O(tokens²)),
+    * aggregated with map-side-combinable count + distinct per doc. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // '#' and '...' occurrences — literal non-overlapping left-to-right
+    // replacement, same contract as the oracle's replace()
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val perToken = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha_words"),
+      size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("long").as("n_stop"),
+      (nHash + nEllipsis).cast("long").as("n_symbols"))
+    val bigrams = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        (0 until t.length - 1).iterator.map(i => (id, t(i) + " " + t(i + 1)))
+      }
+      .toDF("doc_id", "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct_bigrams"))
+    perToken.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_letters"),
+        col("n_alpha_words"), col("n_stop"), col("n_symbols"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("n_bigrams"), lit(0L)) -
+          coalesce(col("n_distinct_bigrams"), lit(0L))).as("n_dup_bigrams"))
+      .withColumn("gopher_ok",
+        col("n_words") >= 15 && col("n_words") <= 100000 &&
+          col("n_letters") >= col("n_words") * 3 &&
+          col("n_letters") <= col("n_words") * 10 &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+          col("n_stop") >= 1 &&
+          col("n_dup_bigrams") * 5 <= col("n_bigrams"))
+  }
+
   /** PII scrubbing for web corpora: redact emails and phone-shaped digit
     * runs (the standard pre-training cleanup pass). Pure codegen
     * `regexp_replace`/`regexp_extract_all` — the patterns use only

@@ -33,6 +33,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 2 && out(3L)._2 == 1)
   }
 
+  test("gopherQuality: each signal trips on exactly its planted pathological doc") {
+    import spark.implicits._
+    // 22 words, 21 all-distinct bigrams, 6 Gopher stopwords, mean len 95/22
+    val good = "the quick brown fox jumps over the lazy dog and runs across " +
+      "wide fields with great speed to reach that distant river"
+    val df = Seq(
+      (1L, good),                                // passes everything
+      (2L, "too short doc the end"),             // n_words < 15, all else ok
+      (3L, ("spam ham " * 20).trim + " the"),    // dup-bigram fraction only
+      (4L, good + " # ... #"),                   // symbol ratio only (3 symbols / 25 words)
+      (5L, ("aa " * 20).trim + " the"),          // mean word length < 3
+      (6L, "12345 67890 13579 24680 98765 the quick brown fox jumps over lazy dogs running fast"), // alpha 10/15 only
+      (7L, "quick brown fox jumps high above lazy dog while many animals watch quietly from nearby green hills") // no stopwords only
+    ).toDF("doc_id", "text")
+    val rows = TextOps.gopherQuality(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("gopher_ok"), "control doc must pass")
+    (2L to 7L).foreach(id =>
+      assert(!rows(id).getAs[Boolean]("gopher_ok"), s"doc $id must fail its planted signal"))
+    // exact signal values on the control doc
+    assert(rows(1L).getAs[Long]("n_words") == 22)
+    assert(rows(1L).getAs[Long]("n_letters") == 95)
+    assert(rows(1L).getAs[Long]("n_stop") == 6)
+    assert(rows(1L).getAs[Long]("n_bigrams") == 21)
+    assert(rows(1L).getAs[Long]("n_dup_bigrams") == 0)
+    // and single-cause failures where the doc was built for one signal
+    assert(rows(4L).getAs[Long]("n_symbols") == 3)
+    assert(rows(3L).getAs[Long]("n_dup_bigrams") == 40 - 3)
+    assert(rows(7L).getAs[Long]("n_stop") == 0)
+  }
+
   test("packSequences: bins are partition-count-invariant and sequential-fill exact") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -319,6 +319,12 @@ object QueryCatalog {
     // Gopher repetition+format filters (Rae et al. 2021 §A1.1) — integer
     // signals only, so the hash gate is engine-exact
     "text_quality_gopher" -> ((s, dir) => TextOps.gopherQuality(docs(s, dir))),
+    // eval-set decontamination: deterministic benchmark slice (doc_id%53),
+    // 5-gram overlap; the benchmark docs flag themselves plus any
+    // training doc sharing a 5-gram (the fixture's planted near-dups)
+    "decontaminate" -> ((s, dir) =>
+      TextOps.decontaminate(docs(s, dir),
+        docs(s, dir).where(col("doc_id") % 53 === 0), w = 5)),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
     "doc_fingerprint_rolling" -> ((s, dir) => TextOps.rollingFingerprints(docs(s, dir))),
     // end-to-end composition: the pipeline ops chained the way a real
@@ -1116,6 +1122,19 @@ object QueryCatalog {
         |  AND n_stop >= 1
         |  AND n_dup_bigrams * 5 <= n_bigrams) AS gopher_ok
         |FROM w""".stripMargin,
+
+    // per-doc shingles are DISTINCT, so the hit count equals the Spark
+    // side's distinct-matched-grams accounting
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shidx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + 4], ' ') AS sh FROM shidx),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n FROM sh s JOIN bench b ON s.sh = b.sh GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(h.n, 0) AS BIGINT) AS n_matched_grams,
+        | COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "dedup_minhash" -> sqlMinhashSig,
 

@@ -198,6 +198,40 @@ object TextOps {
           col("n_dup_bigrams") * 5 <= col("n_bigrams"))
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / Dolma pass): flag
+    * corpus documents sharing any w-gram with an evaluation/benchmark set,
+    * so eval data can be held out of training. The benchmark is SMALL by
+    * contract (eval suites are thousands of documents, never corpus-scale),
+    * so its distinct w-gram set is collected and BROADCAST; the corpus side
+    * is then one typed mapPartitions pass with ZERO shuffle at any corpus
+    * size — each task tokenizes its documents and streams their w-grams
+    * against the broadcast set. Tokenization is Dedup's shingle contract
+    * (single-space split keeping empty tokens, grams joined by a space).
+    * Returns (doc_id, n_matched_grams = DISTINCT grams hit, contaminated). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def grams(text: String): Iterator[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < w) Iterator.empty
+      else (0 to t.length - w).iterator.map(i => t.slice(i, i + w).mkString(" "))
+    }
+    val benchGrams = benchmark.select(col("text")).as[String]
+      .flatMap(grams(_)).distinct().collect().toSet
+    val bc = spark.sparkContext.broadcast(benchGrams)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.map { case (id, text) =>
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          grams(text).foreach(g => if (set.contains(g)) seen.add(g))
+          (id, seen.size.toLong)
+        }
+      }
+      .toDF("doc_id", "n_matched_grams")
+      .withColumn("contaminated", col("n_matched_grams") > 0)
+  }
+
   /** PII scrubbing for web corpora: redact emails and phone-shaped digit
     * runs (the standard pre-training cleanup pass). Pure codegen
     * `regexp_replace`/`regexp_extract_all` — the patterns use only

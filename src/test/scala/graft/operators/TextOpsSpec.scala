@@ -64,6 +64,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(7L).getAs[Long]("n_stop") == 0)
   }
 
+  test("decontaminate: planted 5-gram overlap is flagged; corpus side never shuffles") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean document with no overlap whatsoever in any span of words"),
+      (2L, "prefix words then alpha beta gamma delta epsilon copied from the benchmark"),
+      (3L, "two hits alpha beta gamma delta epsilon zeta here"), // grams 1+2 of bench
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(docs, bench, w = 5)
+    val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ((0L, false)))
+    assert(got(2L) == ((1L, true)))
+    assert(got(3L) == ((2L, true)))
+    assert(got(4L) == ((0L, false)))
+    // the 100-TB contract: the corpus side is one mapPartitions pass over
+    // the scan — no Exchange anywhere in the plan (benchmark is collected)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "decontaminate must not shuffle the corpus")
+  }
+
   test("packSequences: bins are partition-count-invariant and sequential-fill exact") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

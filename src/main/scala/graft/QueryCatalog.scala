@@ -29,6 +29,13 @@ object QueryCatalog {
   /** floor(x·1e6) as bigint — the cross-engine-stable fixed-point encode. */
   private def fp6(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
 
+  /** Exactly 20 tokens — two full 10-token chunks — planted as a shared
+    * prefix on every 3rd doc for `chunk_dedup` (query and oracle both
+    * derive the planted text from this one literal). */
+  private val ChunkFooter =
+    "site nav home about contact login search help terms privacy " +
+      "copyright footer menu link page news blog shop cart faq"
+
   /** One duplicate-pair-mass probe per sf dir, shared by the three blocked
     * dedup queries (each would otherwise pay its own groupBy(md5(text))
     * pass); resolves to a forced collapse decision for [[Dedup]]'s
@@ -409,6 +416,42 @@ object QueryCatalog {
         when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
       TextOps.urlDedup(docs(s, dir).select(col("doc_id"), messy.as("url")))
     }),
+
+    // cross-corpus incremental dedup: new crawl = the whole corpus, prior
+    // snapshot = the doc_id%5 slice; Bloom-prefiltered exact anti-join on
+    // 60-bit fingerprints (stage-2 verify makes the Bloom's fpp invisible
+    // to the result — survivors are exactly the NOT-IN set)
+    "cross_corpus_dedup" -> ((s, dir) =>
+      Dedup.crossCorpus(docs(s, dir),
+        docs(s, dir).where(col("doc_id") % 5 === 0))),
+
+    // chunk-level exact dedup (Lee et al. boilerplate pass): every 3rd doc
+    // gets the SAME 20-token footer PREFIX, so its first two 10-token
+    // chunks are corpus-wide duplicates; keep-first must leave them only
+    // on the smallest planted doc_id (0)
+    "chunk_dedup" -> ((s, dir) =>
+      TextOps.chunkDedup(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(lit(ChunkFooter + " "), col("text"))).otherwise(col("text"))),
+        chunk = 10)),
+
+    // deterministic per-language stratified sampling: downsample the
+    // over-represented en (40%) and zh (80%), keep the rest — selection by
+    // salted md5 bucket, zero shuffle, reproducible across engines
+    "stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir),
+        rates = Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 1.0)),
+
+    // DSIR importance scores against the source='src0' in-domain slice:
+    // hashed-bigram 64-bucket target histogram, broadcast; one zero-shuffle
+    // corpus pass
+    "dsir_score" -> ((s, dir) =>
+      TextOps.dsirScore(docs(s, dir), col("source") === "src0")),
+
+    // per-domain curation report: docs / token mass / quality passes /
+    // language spread per source, one map-side-combined groupBy
+    "domain_stats" -> ((s, dir) => TextOps.domainStats(docs(s, dir))),
     // real frame sampling: decode 3 of 5 container PNG frames (evenly
     // spaced) with javax.imageio; the oracle predicts the per-frame channel
     // means analytically from the synth formula
@@ -1018,6 +1061,66 @@ object QueryCatalog {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "cross_corpus_dedup" ->
+      s"""WITH nf AS (SELECT doc_id, ${h60sql("text")} AS fp FROM documents),
+         |pf AS (SELECT DISTINCT ${h60sql("text")} AS fp FROM documents WHERE doc_id % 5 = 0)
+         |SELECT doc_id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM pf)""".stripMargin,
+
+    "chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '$ChunkFooter ' || text ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         |i AS (SELECT doc_id, toks,
+         |  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS ci FROM t),
+         |c AS (SELECT doc_id, ci,
+         |  least(len(toks) - ci * 10, 10) AS n_tok,
+         |  array_to_string(toks[ci * 10 + 1 : ci * 10 + 10], ' ') AS chunk FROM i),
+         |r AS (SELECT doc_id, ci, n_tok,
+         |  row_number() OVER (PARTITION BY ${h60sql("chunk")} ORDER BY doc_id, ci) AS rn
+         | FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE n_tok END) AS BIGINT) AS n_tokens_kept
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang, source,
+         |  ${h60sql("doc_id::VARCHAR || ':strat'")} % 10000 AS bucket
+         | FROM documents)
+         |SELECT doc_id, lang, source, bucket FROM b
+         |WHERE bucket < (CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000 ELSE 10000 END)""".stripMargin,
+
+    "dsir_score" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(list_filter(list_transform(list_zip(l, l[2:]), s -> s[1] || ' ' || s[2]),
+         |    x -> x IS NOT NULL)) AS bg FROM d),
+         |hb AS (SELECT doc_id, ${h60sql("bg")} % 64 AS bucket FROM bg),
+         |tgt AS (SELECT bucket, count(*) AS c FROM hb
+         |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY 1),
+         |sc AS (SELECT hb.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(coalesce(tgt.c, 0)) AS BIGINT) AS dsir_score
+         | FROM hb LEFT JOIN tgt USING (bucket) GROUP BY 1)
+         |SELECT d0.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         | coalesce(sc.dsir_score, 0) AS dsir_score
+         |FROM documents d0 LEFT JOIN sc ON d0.doc_id = sc.doc_id""".stripMargin,
+
+    "domain_stats" ->
+      """WITH t AS (SELECT source, lang, string_split(text, ' ') AS toks,
+        |  length(text) AS n_chars,
+        |  length(text) - length(replace(text, ' ', '')) AS n_spaces
+        | FROM documents),
+        |q AS (SELECT source, lang, len(toks) AS n_tokens,
+        |  (len(toks) >= 15 AND (n_chars - n_spaces) / len(toks)::DOUBLE >= 2.0
+        |   AND len(list_filter(toks, x -> x IN ('the','and','a','of','to','in','over'))) * 20 >= len(toks)) AS ok
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | count(DISTINCT lang) AS n_langs
+        |FROM q GROUP BY 1""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

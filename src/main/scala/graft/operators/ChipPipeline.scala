@@ -254,15 +254,33 @@ object ChipPipeline {
     spark.createDataset(rows).toDF("class", "n_features", "known")
   }
 
-  /** Footprints table (S8/S9): id via row_number over (i, j) — deterministic
-    * ordering, never partition order. Columns mirror utils.py:177-221
-    * including the x=i / y=j quirk. */
+  /** Footprints table (S8/S9): global sequential id in (raster_id, i, j)
+    * order — deterministic ordering, never partition order. Columns mirror
+    * utils.py:177-221 including the x=i / y=j quirk.
+    *
+    * The id is a DISTRIBUTED enumeration (range-partition + sort, then
+    * zipWithIndex's per-partition-count + offset jobs), not an
+    * unpartitioned row_number window — the window form funnels every
+    * footprint through ONE task's sort, which is the first operator to
+    * fall over when a whole crawl's chips flow through. The sorted frame
+    * must stay persisted until the caller's terminal action: the indices
+    * are assigned against its materialized partition boundaries (same
+    * cache contract as packSequences; Verify/Bench clearCache between
+    * queries). */
   def footprints(chips: Dataset[ChipRow]): DataFrame = {
-    val w = WExpr.orderBy(col("raster_id"), col("i"), col("j"))
-    chips.toDF()
+    val spark = chips.sparkSession
+    val sorted = chips.toDF()
       .select(col("raster_id"), col("i"), col("j"),
         col("minx"), col("miny"), col("maxx"), col("maxy"), col("filename"))
-      .withColumn("id", row_number().over(w) - lit(1))
+      .repartitionByRange(col("raster_id"), col("i"), col("j"))
+      .sortWithinPartitions("raster_id", "i", "j")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val schema = sorted.schema.add("id", org.apache.spark.sql.types.IntegerType,
+      nullable = false)
+    val withId = sorted.rdd.zipWithIndex().map { case (r, idx) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx.toInt)
+    }
+    spark.createDataFrame(withId, schema)
       .select(col("id"), col("i").as("x"), col("j").as("y"),
         col("minx"), col("miny"), col("maxx"), col("maxy"), col("filename"))
   }

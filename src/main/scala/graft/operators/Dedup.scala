@@ -588,4 +588,41 @@ object Dedup {
       expandPairs(repPairs, members, Seq("hamming")).unionByName(within)
     } else pairsOn(docs)._1
   }
+
+  /** Cross-corpus (incremental) exact dedup: drop every new-crawl doc whose
+    * content fingerprint already exists in a PRIOR corpus (the snapshot-
+    * over-snapshot Common-Crawl pass — each monthly crawl is deduped
+    * against the union of earlier ones). Two-stage at scale:
+    *
+    *  1. A Bloom filter over the prior fingerprints (one map-side-combined
+    *     aggregation; the filter itself is megabytes for billions of keys
+    *     at 1% fpp) is broadcast, and definite non-members — the VAST
+    *     majority of a fresh crawl — are passed through with ZERO shuffle.
+    *  2. Only Bloom-positive candidates (true dups + the fpp sliver) pay
+    *     the exact fingerprint anti-join, so the join exchange carries
+    *     ~dup_rate·|new| rows instead of |new|.
+    *
+    * False positives are exact-verified away by stage 2, so the output is
+    * deterministic and identical to a plain anti-join (pinned by
+    * DedupSpec) — the Bloom stage is pure shuffle avoidance. Fingerprints
+    * are the engine-portable 60-bit md5; only (doc_id, fp) ever shuffles.
+    * Output: surviving new docs as (doc_id, fp). */
+  def crossCorpus(newDocs: DataFrame, prior: DataFrame,
+      fpp: Double = 0.01, bloom: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val nf = newDocs.select(col("doc_id"), h60(col("text")).as("fp"))
+    val pf = prior.select(h60(col("text")).as("fp"))
+    if (!bloom) return nf.join(pf.distinct(), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    // expectedNumItems from a cheap hash-only count; never collect the fps
+    val nPrior = math.max(pf.count(), 1L)
+    val filter = pf.stat.bloomFilter("fp", nPrior, fpp)
+    val bc = spark.sparkContext.broadcast(filter)
+    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+    val flagged = nf.withColumn("maybe", mightContain(col("fp")))
+    val definite = flagged.where(!col("maybe")).drop("maybe")
+    val verified = flagged.where(col("maybe")).drop("maybe")
+      .join(pf.distinct(), Seq("fp"), "left_anti")
+    definite.unionByName(verified.select("doc_id", "fp")).select("doc_id", "fp")
+  }
 }

@@ -295,4 +295,132 @@ object TextOps {
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
   }
+
+  /** Chunk-level exact dedup (the paragraph/line pass of Lee et al. 2021
+    * §4.1 at fixed-width granularity): split each document into
+    * consecutive `chunk`-token spans, keep the globally FIRST occurrence
+    * of each distinct span (order = (doc_id, chunk_idx)), and report per
+    * document how many spans were boilerplate. Only (doc_id, idx, n_tok,
+    * 60-bit md5) rows ever shuffle — never chunk text — so the exchange
+    * is a fixed ~32 bytes/chunk at any corpus size. Keep-first is a
+    * row_number window per hash; a span repeated k times costs one task a
+    * linear k-row scan (no sort amplification — the per-key group IS the
+    * duplicate set, which is exactly what the operator must observe). */
+  def chunkDedup(docs: DataFrame, chunk: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val chunks = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        t.grouped(chunk).zipWithIndex.map { case (c, i) =>
+          (id, i.toLong, c.length.toLong, c.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_tok", "chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+        fingerprintCol(col("chunk")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("dup", row_number().over(w) > 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), 0L).otherwise(col("n_tok"))).as("n_tokens_kept"))
+  }
+
+  /** Deterministic per-language stratified sampling (the corpus-mixing
+    * pass: downweight the over-represented language instead of random
+    * sampling): keep a doc iff its salted md5 bucket (0..9999) falls under
+    * the language's rate. Pure codegen scan filter — ZERO shuffle, and the
+    * selection is reproducible across runs, partitionings, and engines
+    * (no RNG; rerunning on a grown corpus keeps every previously kept
+    * doc, so downstream shards are append-only). */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val bucket = pmod(
+      fingerprintCol(concat(col("doc_id").cast("string"), lit(":strat"))),
+      lit(10000L))
+    // thresholds resolved to integer literals on the DRIVER so the filter
+    // compares long < long in every engine (no float math in the plan)
+    val thr = rates.foldLeft(lit((defaultRate * 10000).round)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit((r * 10000).round)).otherwise(acc)
+    }
+    docs.where(bucket < thr)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+  }
+
+  /** DSIR-style importance score (Xie et al. 2023, Data Selection for LMs
+    * via Importance Resampling — hashed n-gram features): build a bucketed
+    * bigram histogram over a small in-domain TARGET slice, then score
+    * every raw doc by the summed target mass of its own bigram buckets.
+    * The target histogram is `buckets` rows by construction — collected
+    * once and BROADCAST — so the corpus side is one typed mapPartitions
+    * pass with zero shuffle at any scale (the decontaminate shape).
+    * Bucket hash is the engine-portable 60-bit md5, computed identically
+    * in the JVM ([[h60Jvm]]) and in the oracle's SQL. Integer score so the
+    * hash gate is engine-exact (true DSIR divides by the raw histogram and
+    * exponentiates; the integer numerator is the engine-side work). */
+  def dsirScore(docs: DataFrame, isTarget: Column, buckets: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bigrams(text: String): Iterator[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 2) Iterator.empty
+      else (0 until t.length - 1).iterator.map(i => t(i) + " " + t(i + 1))
+    }
+    val targetHist = docs.where(isTarget).select(col("text")).as[String]
+      .flatMap(bigrams(_)).toDF("bg")
+      .select(pmod(fingerprintCol(col("bg")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(
+      Array.tabulate(buckets)(i => targetHist.getOrElse(i, 0L)))
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val hist = bc.value
+        it.map { case (id, text) =>
+          var n = 0L; var score = 0L
+          bigrams(text).foreach { bg =>
+            n += 1; score += hist((h60Jvm(bg) % buckets).toInt)
+          }
+          (id, n, score)
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "dsir_score")
+  }
+
+  /** JVM twin of [[fingerprintCol]]: md5 → first 15 hex chars → long.
+    * Must stay bit-identical to the column form — pinned by TextOpsSpec. */
+  private[graft] def h60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Per-domain corpus report (the crawl-curation dashboard: which hosts
+    * contribute volume vs quality): docs, token mass, quality-pass count
+    * and distinct languages per `source`. Every signal is computed INLINE
+    * in the scan projection — no self-join against qualityScore — so the
+    * whole funnel is one map-side-combined groupBy whose shuffle carries
+    * one partial row per (partition, domain). Thresholds are verbatim
+    * [[qualityScore]]'s `quality_ok`. */
+  def domainStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "and", "a", "of", "to", "in", "over")
+    val base = docs.select(col("source"), col("lang"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).as("n_stopwords"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 15 &&
+          (col("n_chars") - col("n_spaces")).cast("double") / col("n_tokens") >= 2.0 &&
+          col("n_stopwords") * 20 >= col("n_tokens"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_pass"),
+        countDistinct("lang").as("n_langs"))
+  }
 }

@@ -113,7 +113,8 @@ object Bench {
       "extract_chips_within", "rescale_s2_rgb_extra",
       "text_quality_gopher", "decontaminate",
       "cross_corpus_dedup", "chunk_dedup", "stratified_sample",
-      "dsir_score", "domain_stats")
+      "dsir_score", "domain_stats",
+      "token_histogram", "intradoc_dedup", "semdedup")
     // min-of-N per query: this host's CPU-steal bursts inflate single-shot
     // walls by up to 10× (BENCH/BASELINE.md), and one burst used to taint a
     // whole round's recorded artifact. Two samples spaced a full catalog

@@ -36,6 +36,12 @@ object QueryCatalog {
     "site nav home about contact login search help terms privacy " +
       "copyright footer menu link page news blog shop cart faq"
 
+  /** Exactly 10 tokens, planted TWICE as a prefix on every 4th doc for
+    * `intradoc_dedup` — its second 10-token chunk is a within-document
+    * repeat of the first (query and oracle share this one literal). */
+  private val IntraPhrase =
+    "subscribe banner cookie notice accept decline newsletter promo advert close"
+
   /** One duplicate-pair-mass probe per sf dir, shared by the three blocked
     * dedup queries (each would otherwise pay its own groupBy(md5(text))
     * pass); resolves to a forced collapse decision for [[Dedup]]'s
@@ -452,6 +458,27 @@ object QueryCatalog {
     // per-domain curation report: docs / token mass / quality passes /
     // language spread per source, one map-side-combined groupBy
     "domain_stats" -> ((s, dir) => TextOps.domainStats(docs(s, dir))),
+
+    // corpus vocabulary: exact top-100 tokens by occurrence, tie-broken by
+    // token so the k-boundary is engine-deterministic
+    "token_histogram" -> ((s, dir) => TextOps.tokenHistogram(docs(s, dir), k = 100)),
+
+    // within-document repetition: every 4th doc gets the SAME 10-token
+    // phrase planted twice, so its second chunk is a self-repeat; the
+    // operator is a zero-shuffle typed map
+    "intradoc_dedup" -> ((s, dir) =>
+      TextOps.intraDocDedup(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            concat(lit(IntraPhrase + " " + IntraPhrase + " "), col("text")))
+            .otherwise(col("text"))),
+        chunk = 10)),
+
+    // SemDeDup: nearest-centroid clusters (the ann_ivf codebook), then
+    // cluster-local keep-lowest-id at cosine >= 0.2
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedup(emb(s, dir).select(col("vec_id"), col("embedding")),
+        tau = 0.2, dim = 64)),
     // real frame sampling: decode 3 of 5 container PNG frames (evenly
     // spaced) with javax.imageio; the oracle predicts the per-frame channel
     // means analytically from the synth formula
@@ -1121,6 +1148,53 @@ object QueryCatalog {
         | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         | count(DISTINCT lang) AS n_langs
         |FROM q GROUP BY 1""".stripMargin,
+
+    "token_histogram" ->
+      """SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 100""".stripMargin,
+
+    "intradoc_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN '$IntraPhrase $IntraPhrase ' || text ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         |i AS (SELECT doc_id, toks,
+         |  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS ci FROM t),
+         |c AS (SELECT doc_id, ci,
+         |  least(len(toks) - ci * 10, 10) AS n_tok,
+         |  array_to_string(toks[ci * 10 + 1 : ci * 10 + 10], ' ') AS chunk FROM i),
+         |r AS (SELECT doc_id, ci, n_tok,
+         |  row_number() OVER (PARTITION BY doc_id, chunk ORDER BY ci) AS rn FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE n_tok END) AS BIGINT) AS n_tokens_kept
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "semdedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS d, e
+         | FROM v ORDER BY vec_id LIMIT 16),
+         |ad AS (
+         | SELECT v.vec_id, c.d,
+         |  list_dot_product(v.e, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
+         | FROM v, cent c),
+         |assign AS (
+         | SELECT vec_id, d AS bucket FROM (
+         |  SELECT vec_id, d, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, d) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |capped AS (SELECT vec_id, bucket FROM (
+         |  SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS bsz
+         |  FROM assign) WHERE bsz <= 4096),
+         |p AS (
+         | SELECT a.vec_id AS va, b.vec_id AS vb, x.e AS xe, y.e AS ye
+         | FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id),
+         |drp AS (SELECT DISTINCT vb AS vec_id FROM p WHERE $sqlCosineXY >= 0.2)
+         |SELECT a.vec_id, a.bucket,
+         | CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+         |FROM assign a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

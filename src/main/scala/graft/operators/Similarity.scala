@@ -200,4 +200,43 @@ object Similarity {
       .where(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): partition the embedding
+    * space by nearest centroid, then mark any vector with a LOWER-id
+    * neighbor at cosine ≥ τ in its OWN cluster as a semantic duplicate —
+    * keep-one-per-ε-ball restricted to cluster-local comparison, which is
+    * the paper's tractability trade (cross-cluster near-dups are missed by
+    * construction).
+    *
+    * Scale shape: the quadratic is confined to one cluster, so candidate
+    * count is Σ|cluster|²/2 — `nCentroids` is the knob (paper uses k ≈
+    * √N-ish so clusters stay comparison-sized) and `bucketCap` hard-bounds
+    * any one cluster against degenerate collapse (an over-cap cluster
+    * contributes NO candidates — its members all keep, mirrored in the
+    * oracle). The self-join is a (bucket) equi-join over co-partitioned
+    * sides; only (bucket, vec_id, embedding) rows shuffle. Centroid
+    * assignment is the [[ivfBucket]] codegen argmax — same codebook, same
+    * tie rule as `ann_ivf`, already cross-engine-proven. */
+  def semDedup(vectors: DataFrame, tau: Double, dim: Int,
+               nCentroids: Int = 16, bucketCap: Int = 4096): DataFrame = {
+    val centroids = ivfCentroids(vectors, nCentroids)
+    val assigned = vectors
+      .withColumn("bucket", ivfBucket(col("embedding"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val bw = WExpr.partitionBy(col("bucket"))
+    val capped = assigned
+      .withColumn("bsz", count(lit(1)).over(bw))
+      .where(col("bsz") <= bucketCap).drop("bsz")
+    val dropped = capped.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      .join(capped.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("bucket"))
+      .where(col("vec_a") < col("vec_b") &&
+        cosine(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("hit"), lit(0)).cast("int").as("is_dup"))
+  }
 }

@@ -398,6 +398,42 @@ object TextOps {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Corpus vocabulary report: exact top-k tokens by occurrence count with
+    * document frequency — the Zipf-curve / tokenizer-health check every
+    * corpus build runs. One explode + map-side-combined groupBy: the
+    * shuffle carries (token, partial count) rows — vocabulary-sized, not
+    * corpus-sized. The final top-k is Spark's TakeOrderedAndProject
+    * (per-partition heaps + a k-row driver merge), never a global sort;
+    * ties cut deterministically by token so the k-boundary is
+    * engine-stable. */
+  def tokenHistogram(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(k)
+
+  /** Within-document repetition removal (the intra-doc pass of Lee et al.
+    * 2021 — self-repeated spans are the cheapest quality signal): dedupe
+    * each document's OWN fixed-width token chunks, keeping the first
+    * occurrence. Entirely row-local — a typed map with a per-doc seen-set,
+    * ZERO shuffle at any corpus size (contrast [[chunkDedup]], whose
+    * keep-first is corpus-global and must exchange chunk hashes). */
+  def intraDocDedup(docs: DataFrame, chunk: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var n = 0L; var dup = 0L; var kept = 0L
+        text.split(" ", -1).grouped(chunk).foreach { c =>
+          n += 1
+          if (seen.add(c.mkString(" "))) kept += c.length else dup += 1
+        }
+        (id, n, dup, kept)
+      }
+      .toDF("doc_id", "n_chunks", "n_dup_chunks", "n_tokens_kept")
+  }
+
   /** Per-domain corpus report (the crawl-curation dashboard: which hosts
     * contribute volume vs quality): docs, token mass, quality-pass count
     * and distinct languages per `source`. Every signal is computed INLINE

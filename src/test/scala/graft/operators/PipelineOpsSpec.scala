@@ -126,6 +126,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, mass(bAB) + mass(bBC))))
   }
 
+  test("tokenHistogram: exact counts, deterministic tie cut at k") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b b c c c"),
+      (2L, "b c d d"),
+      (3L, "c")
+    ).toDF("doc_id", "text")
+    val all = TextOps.tokenHistogram(df, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSeq == Seq(("c", 5L, 3L), ("b", 3L, 2L), ("d", 2L, 1L), ("a", 1L, 1L)))
+    // k=2 cuts after the (n_occ desc, token asc) order — stable under ties:
+    // planted tie between d(2) and a tie-candidate never reorders b/c
+    val top2 = TextOps.tokenHistogram(df, k = 2).collect().map(_.getString(0))
+    assert(top2.toSeq == Seq("c", "b"))
+  }
+
+  test("intraDocDedup: planted self-repeat counted, plan has no Exchange") {
+    import spark.implicits._
+    val p = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val df = Seq(
+      (1L, p + " " + p + " tail words beyond the repeated span here now ok"),
+      (2L, "all unique tokens in this one document body pad pad pad")
+    ).toDF("doc_id", "text")
+    val out = TextOps.intraDocDedup(df, chunk = 10)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) == ((3L, 1L, 19L))) // 29 tokens, chunk 2 repeats chunk 1; 10+9 kept
+    assert(m(2L) == ((2L, 0L, 11L)))
+  }
+
+  test("intraDocDedup vs chunkDedup: the same repeat across DOCS is only corpus-level") {
+    import spark.implicits._
+    val p = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val df = Seq((1L, p + " one unique tail here"), (2L, p + " two other tail there"))
+      .toDF("doc_id", "text")
+    // no within-doc repetition → intra sees zero dups
+    assert(TextOps.intraDocDedup(df, 10).agg(sum("n_dup_chunks")).head.getLong(0) == 0L)
+    // the shared prefix IS a corpus-level dup → chunkDedup sees one
+    assert(TextOps.chunkDedup(df, 10).agg(sum("n_dup_chunks")).head.getLong(0) == 1L)
+  }
+
+  test("semDedup: planted identical embeddings flagged, lowest id kept, partition-invariant") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
+    val rows = (0 until 40).map { i =>
+      // ids 10, 20, 30 share id 0's embedding exactly (cos = 1)
+      val v = if (i % 10 == 0) vec(0) else vec(i)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, tau = 0.999, dim = dim, nCentroids = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(0L) == 0)                     // lowest id of the clone group keeps
+    assert(Seq(10L, 20L, 30L).forall(out(_) == 1)) // clones flagged
+    val rep = Similarity.semDedup(df.repartition(7), tau = 0.999, dim = dim, nCentroids = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rep == out)
+  }
+
   test("domainStats matches the qualityScore composition it inlines") {
     import spark.implicits._
     val docs = (0L until 80L).map { i =>

@@ -528,6 +528,13 @@ object QueryCatalog {
     // AvailableNow run, so pair counts equal the batch interval self-join
     "streaming_join" -> ((s, dir) => Streaming.streamStreamJoin(s, dir)),
 
+    // STREAM-STATIC cross-corpus dedup: the live crawl (documents stream)
+    // anti-joined per micro-batch against the static prior snapshot —
+    // stateless, and row-identical to the batch cross_corpus_dedup
+    "streaming_crosscorpus" -> ((s, dir) =>
+      Streaming.crossCorpusStream(s, dir,
+        docs(s, dir).where(col("doc_id") % 5 === 0))),
+
     // STREAM-STATIC spatial join — the live-ingest form of the flagship:
     // documents arrive as a file stream, join the broadcast static tile
     // cover on cell, exact point-in-window refine, per-tile counts in
@@ -1090,6 +1097,12 @@ object QueryCatalog {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "cross_corpus_dedup" ->
+      s"""WITH nf AS (SELECT doc_id, ${h60sql("text")} AS fp FROM documents),
+         |pf AS (SELECT DISTINCT ${h60sql("text")} AS fp FROM documents WHERE doc_id % 5 = 0)
+         |SELECT doc_id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM pf)""".stripMargin,
+
+    // the streaming form must reproduce the batch anti-join exactly
+    "streaming_crosscorpus" ->
       s"""WITH nf AS (SELECT doc_id, ${h60sql("text")} AS fp FROM documents),
          |pf AS (SELECT DISTINCT ${h60sql("text")} AS fp FROM documents WHERE doc_id % 5 = 0)
          |SELECT doc_id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM pf)""".stripMargin,

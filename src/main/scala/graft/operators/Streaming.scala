@@ -193,4 +193,25 @@ object Streaming {
       q.awaitTermination()
     }
   }
+
+  /** Streaming cross-corpus dedup — the live-crawl counterpart of
+    * [[Dedup.crossCorpus]]: the documents table consumed as a file stream,
+    * each micro-batch anti-joined against a STATIC prior-corpus
+    * fingerprint table. Stream-static left_anti is STATELESS — no
+    * watermark, no state store, nothing grows across batches — because
+    * the prior side is fixed for the run; Spark plans it as a per-batch
+    * broadcast (small prior) or shuffle (large prior) hash join, so at
+    * scale the per-batch cost is the batch operator's, amortized over the
+    * stream. Only (doc_id, 60-bit fp) rows ever cross the join. Output:
+    * surviving new docs, append mode — identical row set to the batch
+    * operator, which is what the oracle checks. */
+  def crossCorpusStream(spark: SparkSession, sfDir: String,
+                        prior: DataFrame): DataFrame = {
+    val pf = prior
+      .select(TextOps.fingerprintCol(col("text")).as("fp")).distinct()
+    val stream = tableStream(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+    runToMemory(stream.join(pf, Seq("fp"), "left_anti")
+      .select("doc_id", "fp"), mode = "append")
+  }
 }

@@ -188,6 +188,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("crossCorpusStream equals batch crossCorpus on the same tables") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val prior = docs.where(col("doc_id") % 5 === 0)
+    val batch = Dedup.crossCorpus(docs, prior)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val streamed = Streaming.crossCorpusStream(spark, sf, prior)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("domainStats matches the qualityScore composition it inlines") {
     import spark.implicits._
     val docs = (0L until 80L).map { i =>

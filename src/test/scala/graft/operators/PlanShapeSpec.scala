@@ -68,6 +68,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"))
   }
 
+  test("semdedup: cluster-local pairs via bucket equi-join, never all-pairs") {
+    val p = plan("semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("token_histogram: partial aggregation + distributed top-k, no global sort") {
+    val p = plan("token_histogram")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine expected")
+    assert(!p.contains("Sort ["), "global limit must not plan a full sort")
+  }
+
+  test("cross_corpus_dedup: Bloom pass-through union + anti-join only on candidates") {
+    val p = plan("cross_corpus_dedup")
+    assert(p.contains("Union"), "definite non-members must bypass the join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q1_agg scan prunes to the aggregated columns only") {
     val p = QueryCatalog.queries("q1_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -463,6 +463,16 @@ object QueryCatalog {
     // token so the k-boundary is engine-deterministic
     "token_histogram" -> ((s, dir) => TextOps.tokenHistogram(docs(s, dir), k = 100)),
 
+    // cross-document substring overlap at stride 1: the planted footer
+    // (every 3rd doc, same plant as chunk_dedup) plus the corpus's exact
+    // duplicates must flag; windows a doc only repeats INTERNALLY must not
+    "substring_dedup" -> ((s, dir) =>
+      TextOps.substringDedup(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(lit(ChunkFooter + " "), col("text"))).otherwise(col("text"))),
+        window = 8)),
+
     // within-document repetition: every 4th doc gets the SAME 10-token
     // phrase planted twice, so its second chunk is a self-repeat; the
     // operator is a zero-shuffle typed map
@@ -1166,6 +1176,25 @@ object QueryCatalog {
       """SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 100""".stripMargin,
+
+    "substring_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '$ChunkFooter ' || text ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         |w AS (SELECT doc_id, toks,
+         |  unnest(range(0, greatest(len(toks) - 8 + 1, 0))) AS i FROM t),
+         |g AS (SELECT DISTINCT doc_id,
+         |  ${h60sql("array_to_string(toks[i + 1 : i + 8], ' ')")} AS h FROM w),
+         |c AS (SELECT h, count(*) AS nd FROM g GROUP BY 1),
+         |s AS (SELECT g.doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         | FROM g JOIN c USING (h) GROUP BY 1)
+         |SELECT d0.doc_id,
+         | coalesce(s.n_windows, 0) AS n_windows,
+         | coalesce(s.n_shared, 0) AS n_shared,
+         | CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT) AS flagged
+         |FROM documents d0 LEFT JOIN s ON d0.doc_id = s.doc_id""".stripMargin,
 
     "intradoc_dedup" ->
       s"""WITH d AS (SELECT doc_id,

@@ -398,6 +398,54 @@ object TextOps {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Cross-document substring-overlap detection (the ExactSubstr idea of
+    * Lee et al. 2021 §4.1 at rolling-window granularity, corpus×corpus
+    * where [[decontaminate]]'s identical machinery is corpus×eval-set):
+    * flag every document sharing ANY `window`-token span with a DIFFERENT
+    * document. Windows slide at stride 1, so a shared span at any token
+    * offset is caught — the property fixed-width chunking misses.
+    *
+    * Scale shape: windows are distinct-ed INSIDE the per-doc flatMap (a
+    * doc's own repetition never reaches the shuffle — that's
+    * [[intraDocDedup]]'s job), so at most one (doc_id, 60-bit hash) row
+    * per distinct span per doc is exchanged — O(corpus tokens) rows of
+    * ~16 bytes, the same linear bound as the shingle tables. Cross-doc
+    * counts are one map-side-combined groupBy on the hash (a boilerplate
+    * span shared by millions of docs partial-aggregates per map task —
+    * never a single-task window), and the count join back is
+    * co-partitioned on the same key. */
+  def substringDedup(docs: DataFrame, window: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    val wh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < window) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          (0 to t.length - window).iterator
+            .map(i => t.slice(i, i + window).mkString(" "))
+            .filter(seen.add)
+            .map(s => (id, s))
+        }
+      }
+      .toDF("doc_id", "sh")
+      .select(col("doc_id"), fingerprintCol(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val shared = wh.groupBy("h").agg(count(lit(1)).as("nd"))
+    val perDoc = wh.join(shared, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id").cast("long"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
+          .cast("int").as("flagged"))
+  }
+
   /** Corpus vocabulary report: exact top-k tokens by occurrence count with
     * document frequency — the Zipf-curve / tokenizer-health check every
     * corpus build runs. One explode + map-side-combined groupBy: the

@@ -188,6 +188,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("substringDedup: shared span found at ANY offset; intra-doc repeats don't flag") {
+    import spark.implicits._
+    val span = "p1 p2 p3 p4 p5 p6 p7 p8" // exactly one 8-token window
+    val df = Seq(
+      (1L, span + " alpha beta gamma delta eps zeta eta theta"),   // span at offset 0
+      (2L, "iota kappa lambda " + span + " mu nu xi omicron pi"),  // same span, offset 3
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8"),     // repeats ITSELF only
+      (4L, "all fresh tokens never appearing anywhere else at all here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(df, window = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1) // cross-doc span flags both
+    assert(out(1L)._1 == 1L)                   // exactly the planted window is shared
+    assert(out(3L) == ((0L, 0)))               // self-repetition is not cross-doc
+    assert(out(4L) == ((0L, 0)))
+    val rep = TextOps.substringDedup(df.repartition(7), window = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(rep == out)
+  }
+
   test("crossCorpusStream equals batch crossCorpus on the same tables") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

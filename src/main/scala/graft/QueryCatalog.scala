@@ -489,6 +489,14 @@ object QueryCatalog {
     "semdedup" -> ((s, dir) =>
       Similarity.semDedup(emb(s, dir).select(col("vec_id"), col("embedding")),
         tau = 0.2, dim = 64)),
+
+    // tokenizer induction: exact top-50 adjacent character pairs (the
+    // table the first BPE merge is chosen from)
+    "bpe_pair_counts" -> ((s, dir) => TextOps.bpePairCounts(docs(s, dir), k = 50)),
+
+    // exact corpus length percentiles from the bounded-cardinality
+    // length histogram — no distributed sort, no approxQuantile
+    "length_percentiles" -> ((s, dir) => TextOps.lengthPercentiles(docs(s, dir))),
     // real frame sampling: decode 3 of 5 container PNG frames (evenly
     // spaced) with javax.imageio; the oracle predicts the per-frame channel
     // means analytically from the synth formula
@@ -1176,6 +1184,22 @@ object QueryCatalog {
       """SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 100""".stripMargin,
+
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substring(w, i, 2) AS pair
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w))
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "length_percentiles" ->
+      """WITH l AS (SELECT len(string_split(text, ' ')) AS len FROM documents),
+        |q AS (SELECT quantile_cont(len, 0.1) AS q10, quantile_cont(len, 0.5) AS q50,
+        |  quantile_cont(len, 0.9) AS q90, quantile_cont(len, 0.99) AS q99 FROM l)
+        |SELECT 0.1 AS p, CAST(FLOOR(q10 * 1000000.0) AS BIGINT) AS len_fp FROM q
+        |UNION ALL SELECT 0.5, CAST(FLOOR(q50 * 1000000.0) AS BIGINT) FROM q
+        |UNION ALL SELECT 0.9, CAST(FLOOR(q90 * 1000000.0) AS BIGINT) FROM q
+        |UNION ALL SELECT 0.99, CAST(FLOOR(q99 * 1000000.0) AS BIGINT) FROM q""".stripMargin,
 
     "substring_dedup" ->
       s"""WITH d AS (SELECT doc_id,

@@ -389,6 +389,67 @@ object TextOps {
       .toDF("doc_id", "n_bigrams", "dsir_score")
   }
 
+  /** First-iteration BPE merge statistics (tokenizer induction: the
+    * pair-frequency table the first byte-pair merge is chosen from):
+    * count adjacent character pairs within each whitespace word across
+    * the corpus, exact top-k. The flatMap emits O(chars) pair rows but
+    * the groupBy partial-aggregates them map-side to the pair-alphabet
+    * cardinality (≤ alphabet², thousands) before any exchange — at
+    * 100 TB the shuffle carries per-task alphabet histograms, not
+    * corpus-sized pair streams. Deterministic tie cut by pair. */
+  def bpePairCounts(docs: DataFrame, k: Int = 50): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("text")).as[String]
+      .flatMap { text =>
+        text.split(" ", -1).iterator.flatMap { w =>
+          if (w.length < 2) Iterator.empty
+          else (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
+        }
+      }
+      .toDF("pair")
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Exact corpus length percentiles (the sequence-length planning stats
+    * a packing/batching config is tuned from) WITHOUT a distributed sort:
+    * token counts have bounded cardinality (a length histogram, not a
+    * value set), so one map-side-combined groupBy collapses 100 TB to a
+    * few thousand (length, count) rows, the driver accumulates the CDF,
+    * and the numpy-linear order statistic is interpolated analytically —
+    * the [[graft.core.RasterMath]] percentile rule over a histogram
+    * instead of a sorted array. Exact, not approxQuantile. */
+  def lengthPercentiles(docs: DataFrame, ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs.select(size(tokens(col("text"))).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    // value at fractional rank h = (n-1)·p, linear between the two
+    // bracketing order statistics (numpy 'linear', the rescale_percentiles
+    // rule) — located by walking the CDF, never materializing n values
+    def at(rank: Long): Double = {
+      var acc = 0L
+      var i = 0
+      while (i < hist.length) {
+        acc += hist(i)._2
+        if (rank < acc) return hist(i)._1.toDouble
+        i += 1
+      }
+      hist.last._1.toDouble
+    }
+    val rows = ps.map { p =>
+      val h = (n - 1).toDouble * p
+      val lo = math.floor(h).toLong
+      val hi = math.ceil(h).toLong
+      val v = at(lo) + (h - lo) * (at(hi) - at(lo))
+      (p, math.floor(v * 1000000.0).toLong)
+    }
+    spark.createDataset(rows).toDF("p", "len_fp")
+  }
+
   /** JVM twin of [[fingerprintCol]]: md5 → first 15 hex chars → long.
     * Must stay bit-identical to the column form — pinned by TextOpsSpec. */
   private[graft] def h60Jvm(s: String): Long = {

@@ -208,6 +208,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("bpePairCounts: hand-counted adjacent pairs, short words skipped") {
+    import spark.implicits._
+    val df = Seq((1L, "abab cd x"), (2L, "ab ba")).toDF("doc_id", "text")
+    val out = TextOps.bpePairCounts(df, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // abab → ab, ba, ab; cd → cd; x skipped; ab → ab; ba → ba
+    assert(out.toSeq == Seq(("ab", 3L), ("ba", 2L), ("cd", 1L)))
+  }
+
+  test("lengthPercentiles: histogram interpolation equals the sorted-array order statistic") {
+    import spark.implicits._
+    // lengths 1..10 → p50 over n=10: h=(10-1)*0.5=4.5 → 5 + 0.5*(6-5) = 5.5
+    val df = (1 to 10).map(n => (n.toLong, (1 to n).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.lengthPercentiles(df, Seq(0.0, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out(0.0) == 1000000L)
+    assert(out(0.5) == 5500000L)
+    assert(out(1.0) == 10000000L)
+  }
+
   test("crossCorpusStream equals batch crossCorpus on the same tables") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

@@ -224,10 +224,15 @@ object Similarity {
     val assigned = vectors
       .withColumn("bucket", ivfBucket(col("embedding"), centroids))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val bw = WExpr.partitionBy(col("bucket"))
+    // cluster sizes via map-side-combined groupBy + broadcast join back —
+    // NOT a count-over-window by bucket: with only nCentroids distinct
+    // buckets that window would drag every cluster's full membership
+    // through one task each. The size table is nCentroids rows by
+    // construction, always broadcastable.
+    val sizes = assigned.groupBy("bucket").agg(count(lit(1)).as("bsz"))
     val capped = assigned
-      .withColumn("bsz", count(lit(1)).over(bw))
-      .where(col("bsz") <= bucketCap).drop("bsz")
+      .join(broadcast(sizes.where(col("bsz") <= bucketCap)), Seq("bucket"))
+      .drop("bsz")
     val dropped = capped.select(col("bucket"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"))
       .join(capped.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -170,6 +170,10 @@ object QueryCatalog {
       events(s, dir).groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), fp6(sum("value")).as("sum_value_fp"))),
 
+    // gap-based sessionization (30-min timeout): one user-partitioned
+    // window + rollup, single exchange on user_id
+    "sessionize" -> ((s, dir) => EventOps.sessionize(events(s, dir))),
+
     // ---- W1/W2: sliding-window grid + window→geometry ---------------------
     "tile_grid" -> ((s, _) => {
       import s.implicits._
@@ -1042,6 +1046,19 @@ object QueryCatalog {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | CAST(FLOOR(sum(value)*1000000.0) AS BIGINT) AS sum_value_fp
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | count(*) AS n_events, min(event_id) AS first_event,
+        | CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "tile_grid" -> sqlTileGrid,
 

@@ -367,6 +367,23 @@ object QueryCatalog {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
 
+    // the modern curation recipe end-to-end (RefinedWeb/FineWeb shape):
+    // cross-corpus dedup -> Gopher quality gate -> deterministic
+    // per-language downsampling -> per-source report, one composed plan
+    "pipeline_llm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = Dedup.crossCorpus(d, d.where(col("doc_id") % 5 === 0))
+        .select("doc_id")
+      val fresh = d.join(survivors, Seq("doc_id"))
+      val ok = TextOps.gopherQuality(fresh).where(col("gopher_ok"))
+        .select(col("doc_id"), col("n_words"))
+      val gated = fresh.join(ok, Seq("doc_id"))
+      TextOps.stratifiedSample(gated, Map("en" -> 0.5), 1.0)
+        .join(gated.select("doc_id", "n_words"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("sum_words"))
+    }),
+
     // sequence packing: global-order sequential fill into 256-token bins
     // via a distributed prefix sum (per-partition totals + broadcast
     // offsets — never a single-task global window); per-bin stats are the
@@ -556,6 +573,10 @@ object QueryCatalog {
     "streaming_crosscorpus" -> ((s, dir) =>
       Streaming.crossCorpusStream(s, dir,
         docs(s, dir).where(col("doc_id") % 5 === 0))),
+
+    // native session-window streaming aggregation; final sessions equal
+    // the batch gap rule (gap >= starts a new session — Spark's boundary)
+    "streaming_sessions" -> ((s, dir) => Streaming.sessionWindows(s, dir)),
 
     // STREAM-STATIC spatial join — the live-ingest form of the flagship:
     // documents arrive as a file stream, join the broadcast static tile
@@ -1046,6 +1067,24 @@ object QueryCatalog {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | CAST(FLOOR(sum(value)*1000000.0) AS BIGINT) AS sum_value_fp
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Spark's session-window boundary is gap >= (an event exactly at
+    // session end opens a NEW session), vs sessionize's strict >; append
+    // mode emits only sessions CLOSED by the final watermark (end <=
+    // max(ts) - 2h), the streaming_watermarked finalization rule
+    "streaming_sessions" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |r AS (SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_last,
+        |  count(*) AS n_events FROM s GROUP BY user_id, sid)
+        |SELECT user_id, sess_start, n_events FROM r
+        |WHERE sess_last + INTERVAL 30 MINUTE <=
+        |  (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
@@ -1705,6 +1744,37 @@ object QueryCatalog {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          | lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM t WHERE n_tokens >= 20 GROUP BY 1, 2""".stripMargin,
+
+    "pipeline_llm" ->
+      s"""WITH pf AS (SELECT DISTINCT ${h60sql("text")} AS fp FROM documents WHERE doc_id % 5 = 0),
+         |fresh AS (SELECT * FROM documents
+         |  WHERE ${h60sql("text")} NOT IN (SELECT fp FROM pf)),
+         |d AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS l FROM fresh),
+         |w AS (
+         | SELECT doc_id, lang, source,
+         |  len(l) AS n_words,
+         |  length(replace(text, ' ', '')) AS n_letters,
+         |  len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+         |  len(list_filter(l, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+         |  (length(text) - length(replace(text, '#', '')))
+         |   + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
+         |  greatest(len(l) - 1, 0) AS n_bigrams,
+         |  greatest(len(l) - 1, 0) - len(list_distinct(list_filter(
+         |    list_transform(list_zip(l, l[2:]), s -> s[1] || ' ' || s[2]),
+         |    x -> x IS NOT NULL))) AS n_dup_bigrams
+         | FROM d),
+         |ok AS (SELECT doc_id, lang, source, n_words FROM w
+         | WHERE n_words >= 15 AND n_words <= 100000
+         |  AND n_letters >= n_words * 3 AND n_letters <= n_words * 10
+         |  AND n_symbols * 10 <= n_words
+         |  AND n_alpha_words * 5 >= n_words * 4
+         |  AND n_stop >= 1
+         |  AND n_dup_bigrams * 5 <= n_bigrams),
+         |samp AS (SELECT doc_id, source, n_words FROM ok
+         | WHERE ${h60sql("doc_id::VARCHAR || ':strat'")} % 10000 <
+         |  (CASE lang WHEN 'en' THEN 5000 ELSE 10000 END))
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_words
+         |FROM samp GROUP BY 1""".stripMargin,
 
     "sequence_pack" ->
       """WITH t AS (

@@ -194,6 +194,35 @@ object Streaming {
     }
   }
 
+  /** Streaming sessionization with Spark's NATIVE session windows:
+    * `session_window(ts, gap)` merges a user's events into dynamic
+    * [first_ts, last_ts + gap) windows inside the stateful aggregation —
+    * the state store holds open sessions per user and closes them when
+    * event time passes the gap. Update output mode (session windows do
+    * not support complete), no watermark: with AvailableNow over the
+    * static fixture the file source feeds ONE batch, so every session is
+    * final and emitted exactly once — which is what makes the query
+    * oracle-checkable against the batch gap rule. Session windows demand
+    * append mode WITH a watermark, so sessions still open at the final
+    * watermark (max event time − delay) are withheld — the same
+    * window-finalization semantics the `streaming_watermarked` oracle
+    * models (emit iff session end ≤ watermark). Boundary semantics: an
+    * event exactly at session end (gap ≥, not >) starts a NEW session —
+    * Spark's rule, mirrored in the oracle. The NTZ fixture column is cast
+    * to TIMESTAMP for the watermark (event time must be LTZ — the same
+    * proven cast as eventCountsCheckpointed; the round-trip is
+    * tz-neutral). */
+  def sessionWindows(spark: SparkSession, sfDir: String,
+                     gap: String = "30 minutes"): DataFrame = {
+    val agg = tableStream(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
+    runToMemory(agg, mode = "append")
+  }
+
   /** Streaming cross-corpus dedup — the live-crawl counterpart of
     * [[Dedup.crossCorpus]]: the documents table consumed as a file stream,
     * each micro-batch anti-joined against a STATIC prior-corpus

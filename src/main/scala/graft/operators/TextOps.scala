@@ -302,10 +302,17 @@ object TextOps {
     * of each distinct span (order = (doc_id, chunk_idx)), and report per
     * document how many spans were boilerplate. Only (doc_id, idx, n_tok,
     * 60-bit md5) rows ever shuffle — never chunk text — so the exchange
-    * is a fixed ~32 bytes/chunk at any corpus size. Keep-first is a
-    * row_number window per hash; a span repeated k times costs one task a
-    * linear k-row scan (no sort amplification — the per-key group IS the
-    * duplicate set, which is exactly what the operator must observe). */
+    * is a fixed ~32 bytes/chunk at any corpus size.
+    *
+    * Keep-first is a min-struct aggregation per hash + a co-partitioned
+    * join back, NOT a row_number window per hash: the min PARTIAL-
+    * aggregates map-side (a boilerplate span in billions of docs costs
+    * one partial row per map task), and the join probe streams — whereas
+    * WindowExec would buffer the hot hash's ENTIRE group in one task's
+    * memory before sorting it, the degenerate-corpus OOM the dedup DF
+    * caps exist to prevent. The two forms are output-identical (keeper =
+    * min (doc_id, chunk_idx) either way; pinned by PipelineOpsSpec and
+    * the oracle). */
   def chunkDedup(docs: DataFrame, chunk: Int = 10): DataFrame = {
     import docs.sparkSession.implicits._
     val chunks = docs.select(col("doc_id").cast("long"), col("text"))
@@ -319,9 +326,12 @@ object TextOps {
       .toDF("doc_id", "chunk_idx", "n_tok", "chunk")
       .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
         fingerprintCol(col("chunk")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy("doc_id", "chunk_idx")
-    chunks.withColumn("dup", row_number().over(w) > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val keepers = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    chunks.join(keepers, Seq("h"))
+      .withColumn("dup",
+        struct(col("doc_id"), col("chunk_idx")) =!= col("keeper"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),

@@ -88,6 +88,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("pipeline_llm: the composed curation plan stays equi-join only") {
+    val p = plan("pipeline_llm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("sessionize: window + rollup share ONE user_id exchange") {
+    val p = plan("sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(2000)}")
+  }
+
   test("q1_agg scan prunes to the aggregated columns only") {
     val p = QueryCatalog.queries("q1_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

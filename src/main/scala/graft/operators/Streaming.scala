@@ -213,14 +213,22 @@ object Streaming {
     * proven cast as eventCountsCheckpointed; the round-trip is
     * tz-neutral). */
   def sessionWindows(spark: SparkSession, sfDir: String,
-                     gap: String = "30 minutes"): DataFrame = {
+                     gap: String = "30 minutes",
+                     statePartitions: Int = 4): DataFrame = {
     val agg = tableStream(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
-    runToMemory(agg, mode = "append")
+    // state-sized stateful shuffle, the streamStreamJoin lesson: each
+    // partition is a state-store instance paying per-batch snapshot files,
+    // and open-session state is per-user-tiny here
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      runToMemory(agg, mode = "append")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Streaming cross-corpus dedup — the live-crawl counterpart of

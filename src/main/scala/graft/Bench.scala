@@ -124,23 +124,33 @@ object Bench {
     // apart make a burst visible instead of fatal; the min is the engine
     // number. SPARK_GRAFT_QUERY_RUNS overrides (1 restores single-shot).
     val queryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "2").toInt
-    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a FAILED pass must not poison the min with its fast crash wall (a
+    // regression would read as a speedup in the recorded artifact) — it
+    // returns None; a query with NO successful pass is published as -1.0,
+    // an unmistakable failure marker, never a time
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] query failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - q0) / 1e9
       // drop the query's persisted blocking intermediates (dedup/
       // similarity persist several DataFrames each) so later queries
       // aren't timed under accumulated cache pressure
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
     // pass p runs the whole catalog before pass p+1 re-times any query, so
     // the two samples of one query never share a congestion burst
     val samples = (1 to queryRuns).map { _ =>
-      headline.flatMap(name => SparkEntry.queries.get(name).map(fn => name -> timeQuery(fn)))
+      headline.flatMap(name =>
+        SparkEntry.queries.get(name).map(fn => name -> timeQuery(fn)))
     }
     val results = samples.flatten.groupBy(_._1).view
-      .mapValues(_.map(_._2).min).toMap
+      .mapValues { ss =>
+        val good = ss.flatMap(_._2)
+        if (good.nonEmpty) good.min else -1.0
+      }.toMap
     val ordered = headline.filter(results.contains)
     // end-of-run congestion sentinel: the flagship again, fresh plan. A
     // quiet run reads within noise of flagship_sec; a large ratio means the

@@ -509,7 +509,7 @@ object QueryCatalog {
     // cluster-local keep-lowest-id at cosine >= 0.2
     "semdedup" -> ((s, dir) =>
       Similarity.semDedup(emb(s, dir).select(col("vec_id"), col("embedding")),
-        tau = 0.2, dim = 64)),
+        tau = 0.2)),
 
     // tokenizer induction: exact top-50 adjacent character pairs (the
     // table the first BPE merge is chosen from)

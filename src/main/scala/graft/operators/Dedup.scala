@@ -619,7 +619,12 @@ object Dedup {
     val filter = pf.stat.bloomFilter("fp", nPrior, fpp)
     val bc = spark.sparkContext.broadcast(filter)
     val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
-    val flagged = nf.withColumn("maybe", mightContain(col("fp")))
+    // a NULL fp (null text) can never match the prior side — route it to
+    // the definite pass-through, exactly as the plain anti-join keeps it
+    // (a primitive-typed UDF returns NULL on null input, which would
+    // otherwise drop the row from BOTH branches)
+    val flagged = nf.withColumn("maybe",
+      when(col("fp").isNull, lit(false)).otherwise(mightContain(col("fp"))))
     val definite = flagged.where(!col("maybe")).drop("maybe")
     val verified = flagged.where(col("maybe")).drop("maybe")
       .join(pf.distinct(), Seq("fp"), "left_anti")

@@ -218,7 +218,7 @@ object Similarity {
     * sides; only (bucket, vec_id, embedding) rows shuffle. Centroid
     * assignment is the [[ivfBucket]] codegen argmax — same codebook, same
     * tie rule as `ann_ivf`, already cross-engine-proven. */
-  def semDedup(vectors: DataFrame, tau: Double, dim: Int,
+  def semDedup(vectors: DataFrame, tau: Double,
                nCentroids: Int = 16, bucketCap: Int = 4096): DataFrame = {
     val centroids = ivfCentroids(vectors, nCentroids)
     val assigned = vectors

@@ -198,11 +198,7 @@ object Streaming {
     * `session_window(ts, gap)` merges a user's events into dynamic
     * [first_ts, last_ts + gap) windows inside the stateful aggregation —
     * the state store holds open sessions per user and closes them when
-    * event time passes the gap. Update output mode (session windows do
-    * not support complete), no watermark: with AvailableNow over the
-    * static fixture the file source feeds ONE batch, so every session is
-    * final and emitted exactly once — which is what makes the query
-    * oracle-checkable against the batch gap rule. Session windows demand
+    * event time passes the gap. Session windows demand
     * append mode WITH a watermark, so sessions still open at the final
     * watermark (max event time − delay) are withheld — the same
     * window-finalization semantics the `streaming_watermarked` oracle

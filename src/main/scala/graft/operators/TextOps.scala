@@ -412,8 +412,13 @@ object TextOps {
     docs.select(col("text")).as[String]
       .flatMap { text =>
         text.split(" ", -1).iterator.flatMap { w =>
-          if (w.length < 2) Iterator.empty
-          else (0 until w.length - 1).iterator.map(i => w.substring(i, i + 2))
+          // pairs over CODE POINTS, not UTF-16 code units — an astral char
+          // (emoji, rare CJK) must pair whole, matching the oracle's
+          // character-based substring; code-unit slicing would emit half a
+          // surrogate pair and break engine exactness off-BMP
+          val cps = w.codePoints().toArray
+          if (cps.length < 2) Iterator.empty
+          else (0 until cps.length - 1).iterator.map(i => new String(cps, i, 2))
         }
       }
       .toDF("pair")
@@ -436,6 +441,8 @@ object TextOps {
     val hist = docs.select(size(tokens(col("text"))).cast("long").as("len"))
       .groupBy("len").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (hist.isEmpty)
+      return spark.createDataset(Seq.empty[(Double, Long)]).toDF("p", "len_fp")
     val n = hist.map(_._2).sum
     // value at fractional rank h = (n-1)·p, linear between the two
     // bracketing order statistics (numpy 'linear', the rescale_percentiles

@@ -208,17 +208,26 @@ class IcebergLite(root: String, spark: SparkSession) {
       }
     }
     // manifest expiry in ONE distributed pass: read the directory once with
-    // input_file_name() and delete files none of whose rows carry the live
-    // snapshot id — the old per-file driver loop planned O(files) separate
-    // read jobs, quadratic driver work over a long-lived table's lifetime
+    // input_file_name() to find files carrying LIVE rows, then delete every
+    // listed parquet NOT in that set — the old per-file driver loop planned
+    // O(files) separate read jobs, quadratic driver work over a long-lived
+    // table's lifetime. Dead = listed − live (not "grouped and not live"):
+    // a ZERO-row manifest file produces no input_file_name group at all and
+    // would otherwise leak forever; and if the directory holds no readable
+    // parquet there is nothing to read and nothing to delete.
     val mfDir = Paths.get(metaDir, "manifests")
     if (Files.exists(mfDir)) {
-      val dead = spark.read.parquet(mfDir.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(max(when(col("snapshot_id") === snap, 1).otherwise(0)).as("live"))
-        .where(col("live") === 0)
-        .select("f").as[String].collect()
-      dead.foreach(f => Files.deleteIfExists(Paths.get(new java.net.URI(f))))
+      val allFiles = withStream(Files.list(mfDir))(_.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList)
+      if (allFiles.nonEmpty) {
+        val live = spark.read.parquet(mfDir.toString)
+          .where(col("snapshot_id") === snap)
+          .select(input_file_name().as("f"))
+          .distinct().as[String].collect()
+          .map(f => Paths.get(new java.net.URI(f)).toRealPath()).toSet
+        allFiles.filterNot(p => live.contains(p.toRealPath()))
+          .foreach(Files.deleteIfExists(_))
+      }
     }
     snap
   }

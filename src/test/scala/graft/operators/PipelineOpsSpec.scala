@@ -179,11 +179,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       (i.toLong, v)
     }
     val df = rows.toDF("vec_id", "embedding")
-    val out = Similarity.semDedup(df, tau = 0.999, dim = dim, nCentroids = 4)
+    val out = Similarity.semDedup(df, tau = 0.999, nCentroids = 4)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(out(0L) == 0)                     // lowest id of the clone group keeps
     assert(Seq(10L, 20L, 30L).forall(out(_) == 1)) // clones flagged
-    val rep = Similarity.semDedup(df.repartition(7), tau = 0.999, dim = dim, nCentroids = 4)
+    val rep = Similarity.semDedup(df.repartition(7), tau = 0.999, nCentroids = 4)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(rep == out)
   }

@@ -1170,16 +1170,23 @@ object QueryCatalog {
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: the engine side is a left_anti join, which
+    // KEEPS null-fp rows (null text can never match the prior side); a
+    // NOT IN over a subquery inverts to all-false the moment either side
+    // holds a NULL — the one SQL idiom whose null semantics silently
+    // diverge from the anti-join on a fixture with NULL text
     "cross_corpus_dedup" ->
       s"""WITH nf AS (SELECT doc_id, ${h60sql("text")} AS fp FROM documents),
          |pf AS (SELECT DISTINCT ${h60sql("text")} AS fp FROM documents WHERE doc_id % 5 = 0)
-         |SELECT doc_id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM pf)""".stripMargin,
+         |SELECT doc_id, fp FROM nf
+         | WHERE NOT EXISTS (SELECT 1 FROM pf WHERE pf.fp = nf.fp)""".stripMargin,
 
     // the streaming form must reproduce the batch anti-join exactly
     "streaming_crosscorpus" ->
       s"""WITH nf AS (SELECT doc_id, ${h60sql("text")} AS fp FROM documents),
          |pf AS (SELECT DISTINCT ${h60sql("text")} AS fp FROM documents WHERE doc_id % 5 = 0)
-         |SELECT doc_id, fp FROM nf WHERE fp NOT IN (SELECT fp FROM pf)""".stripMargin,
+         |SELECT doc_id, fp FROM nf
+         | WHERE NOT EXISTS (SELECT 1 FROM pf WHERE pf.fp = nf.fp)""".stripMargin,
 
     "chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id,
@@ -1665,7 +1672,7 @@ object QueryCatalog {
          |  AND $C + (g.col_off + g.win_width) * $A >= ${aoiB._1}
          |  AND $F + (g.row_off + g.win_height) * ($E) <= ${aoiB._4}
          |  AND $F + g.row_off * ($E) >= ${aoiB._2})
-         |SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS INT) AS id,
+         |SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS BIGINT) AS id,
          | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
          | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename
          |FROM kept""".stripMargin,
@@ -1687,7 +1694,7 @@ object QueryCatalog {
          |  AND $C + (g.col_off + g.win_width) * $A <= ${aoiB._3}
          |  AND $F + (g.row_off + g.win_height) * ($E) >= ${aoiB._2}
          |  AND $F + g.row_off * ($E) <= ${aoiB._4})
-         |SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS INT) AS id,
+         |SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS BIGINT) AS id,
          | CAST(i AS INT) AS x, CAST(j AS INT) AS y, minx, miny, maxx, maxy,
          | 'lux1_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '.tif' AS filename
          |FROM kept""".stripMargin,
@@ -1747,8 +1754,8 @@ object QueryCatalog {
 
     "pipeline_llm" ->
       s"""WITH pf AS (SELECT DISTINCT ${h60sql("text")} AS fp FROM documents WHERE doc_id % 5 = 0),
-         |fresh AS (SELECT * FROM documents
-         |  WHERE ${h60sql("text")} NOT IN (SELECT fp FROM pf)),
+         |fresh AS (SELECT d0.* FROM (SELECT *, ${h60sql("text")} AS fp0 FROM documents) d0
+         |  WHERE NOT EXISTS (SELECT 1 FROM pf WHERE pf.fp = d0.fp0)),
          |d AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS l FROM fresh),
          |w AS (
          | SELECT doc_id, lang, source,

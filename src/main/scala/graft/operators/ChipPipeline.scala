@@ -275,10 +275,12 @@ object ChipPipeline {
       .repartitionByRange(col("raster_id"), col("i"), col("j"))
       .sortWithinPartitions("raster_id", "i", "j")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val schema = sorted.schema.add("id", org.apache.spark.sql.types.IntegerType,
+    // id is a Long: the whole point of the distributed enumeration is crawl
+    // scale, where an Int would wrap silently past 2^31 footprints
+    val schema = sorted.schema.add("id", org.apache.spark.sql.types.LongType,
       nullable = false)
     val withId = sorted.rdd.zipWithIndex().map { case (r, idx) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx.toInt)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
     }
     spark.createDataFrame(withId, schema)
       .select(col("id"), col("i").as("x"), col("j").as("y"),

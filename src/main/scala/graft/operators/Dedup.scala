@@ -205,7 +205,24 @@ object Dedup {
                                      keyCols: Seq[String]): DataFrame = {
     val h = hot.persist(StorageLevel.MEMORY_AND_DISK_SER)
     val small = h.count() <= HotKeySetBroadcastLimit
-    rows.join(if (small) broadcast(h) else h, keyCols, "left_anti")
+    if (small) {
+      // measured-small path (the overwhelmingly common one): COLLECT the
+      // keys — bounded by the very limit the broadcast would enforce — into
+      // a LocalRelation, so the cached frame is unpersisted HERE instead of
+      // leaking until the caller's clearCache. broadcast(h) directly would
+      // read the cache blocks lazily at result evaluation, forcing the
+      // persist to outlive this call (the old form's leak).
+      val keys = h.collect()
+      val schema = h.schema
+      h.unpersist()
+      val local = rows.sparkSession.createDataFrame(
+        java.util.Arrays.asList(keys: _*), schema)
+      rows.join(broadcast(local), keyCols, "left_anti")
+    } else
+      // degenerate-corpus path: the key set is too big to hold on the
+      // driver, so the shuffled build side must stay persisted until the
+      // result evaluates (object-level cache contract: caller clearCache)
+      rows.join(h, keyCols, "left_anti")
   }
 
   /** Wide 3-exchange form of the DF cap for degenerate key skew: map-side
@@ -465,14 +482,27 @@ object Dedup {
     // state-sized shuffle). Measured from the already-materialized edge
     // count (a cached-block scan), ~2M edges per partition, never above
     // the session setting — at 100-TB pair volumes this keeps the session
-    // value. Scoped + restored around the whole loop.
-    val spark = pairs.sparkSession
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // value.
+    val caller = pairs.sparkSession
+    val sessionParts = caller.conf.get("spark.sql.shuffle.partitions").toInt
     val graphParts = math.max(4L, math.min(sessionParts.toLong,
       edges.count() / 2000000L + 1L)).toInt
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+    // the override lives in a CLONED session (shared SparkContext, cache
+    // manager and checkpoint blocks; private SQLConf): mutating the
+    // caller's session-global shuffle.partitions — even restored in a
+    // finally — would make any CONCURRENT query on the same session plan
+    // its corpus-sized shuffles at the graph's partition count. A plain
+    // per-plan repartition() can't replace the conf here: it is a
+    // user-inserted exchange of RAW rows, which forfeits the partial
+    // (map-side) aggregation the loop's neighbor-min relies on. The
+    // checkpointed edge frame crosses sessions via a uniquely-named global
+    // temp view (its plan is a constant-size LogicalRDD).
+    val loopSession = caller.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+    val viewTag = s"graft_cc_${ccSeq.incrementAndGet()}"
+    edges.createOrReplaceGlobalTempView(s"${viewTag}_edges")
     try {
+    val edgesLoop = loopSession.table(s"global_temp.${viewTag}_edges")
     // iteration 0 is folded into initialization: label(node) = min of the
     // CLOSED neighborhood, one aggregation over the symmetric edges (every
     // node appears as `u`). The old form derived the node set with a
@@ -480,7 +510,7 @@ object Dedup {
     // `ckpt` is the frame actually holding checkpoint blocks (unpersist
     // target — unpersisting a projection of it would be a no-op and leak);
     // `labels` is the (node, label) view the joins use
-    var ckpt = edges.groupBy(col("u").as("node"))
+    var ckpt = edgesLoop.groupBy(col("u").as("node"))
       .agg(min(col("v")).as("mn"))
       .select(col("node"), least(col("mn"), col("node")).as("label"))
       .localCheckpoint(true)
@@ -490,7 +520,7 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       // step 1: neighbor-min — each node takes the min label in its
       // closed neighborhood
-      val nbr = edges.join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+      val nbr = edgesLoop.join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .select(col("u").as("node"), col("label"))
       val relaxed = labels.unionByName(nbr)
         .groupBy("node").agg(min("label").as("label"))
@@ -520,9 +550,21 @@ object Dedup {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     edges.unpersist()
-    labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // hand the result back to the CALLER's session (same view mechanism) so
+    // downstream plans over it use the caller's conf, not the loop clone's;
+    // the view resolves to the final checkpoint's constant-size LogicalRDD,
+    // so dropping the views afterwards cannot invalidate the returned frame
+    labels.createOrReplaceGlobalTempView(s"${viewTag}_labels")
+    val out = caller.table(s"global_temp.${viewTag}_labels")
+    caller.catalog.dropGlobalTempView(s"${viewTag}_labels")
+    out
+    } finally caller.catalog.dropGlobalTempView(s"${viewTag}_edges")
   }
+
+  /** Monotonic tag for [[connectedComponents]]'s cross-session temp views —
+    * global temp views are process-wide, so concurrent CC runs must not
+    * collide on a name. */
+  private val ccSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** (doc_id, th, simhash); th carried for distinct-text DF accounting. */
   private def simhashTh(docs: DataFrame): DataFrame = {
@@ -611,9 +653,15 @@ object Dedup {
       fpp: Double = 0.01, bloom: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val nf = newDocs.select(col("doc_id"), h60(col("text")).as("fp"))
-    val pf = prior.select(h60(col("text")).as("fp"))
-    if (!bloom) return nf.join(pf.distinct(), Seq("fp"), "left_anti")
+    if (!bloom) return nf.join(
+        prior.select(h60(col("text")).as("fp")).distinct(), Seq("fp"), "left_anti")
       .select("doc_id", "fp")
+    // the prior fingerprints are read THREE times (count for
+    // expectedNumItems, bloomFilter build, exact verify anti-join) —
+    // persist so the prior corpus is scanned+hashed once, not per action
+    // (usual cache contract: caller clearCache after the terminal action)
+    val pf = prior.select(h60(col("text")).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // expectedNumItems from a cheap hash-only count; never collect the fps
     val nPrior = math.max(pf.count(), 1L)
     val filter = pf.stat.bloomFilter("fp", nPrior, fpp)

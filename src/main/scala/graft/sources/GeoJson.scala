@@ -102,7 +102,7 @@ object GeoJson {
     val features = rows.map { r =>
       val geom = Geom.box(r.getAs[Double]("minx"), r.getAs[Double]("miny"),
         r.getAs[Double]("maxx"), r.getAs[Double]("maxy"))
-      s"""{"type":"Feature","geometry":${geomToJson(geom)},"properties":{"id":${r.getAs[Int]("id")},"x":${r.getAs[Int]("x")},"y":${r.getAs[Int]("y")},"filename":"${r.getAs[String]("filename")}"}}"""
+      s"""{"type":"Feature","geometry":${geomToJson(geom)},"properties":{"id":${r.getAs[Long]("id")},"x":${r.getAs[Int]("x")},"y":${r.getAs[Int]("y")},"filename":"${r.getAs[String]("filename")}"}}"""
     }
     val crsBlock =
       if (crs == "epsg:4326") ""
@@ -119,7 +119,7 @@ object GeoJson {
     val rows = footprints.orderBy("id").collect()
     val sb = new StringBuilder("id,x,y,minx,miny,maxx,maxy,filename\n")
     rows.foreach { r =>
-      sb.append(s"${r.getAs[Int]("id")},${r.getAs[Int]("x")},${r.getAs[Int]("y")},")
+      sb.append(s"${r.getAs[Long]("id")},${r.getAs[Int]("x")},${r.getAs[Int]("y")},")
       sb.append(s"${r.getAs[Double]("minx")},${r.getAs[Double]("miny")},${r.getAs[Double]("maxx")},${r.getAs[Double]("maxy")},")
       sb.append(s"${r.getAs[String]("filename")}\n")
     }

@@ -54,7 +54,7 @@ class ChipPipelineSpec extends AnyFunSuite {
     val fps = footprints(chips).collect()
     assert(fps.length == 4)
     // footprint ids are 0..3 in (i,j) order; x=i, y=j quirk preserved
-    assert(fps.map(_.getAs[Int]("id")).toSeq.sorted == Seq(0, 1, 2, 3))
+    assert(fps.map(_.getAs[Long]("id")).toSeq.sorted == Seq(0L, 1L, 2L, 3L))
     val masks = masksOf(spark, chips).collect()
     assert(masks.length == 4)
   }

@@ -1396,8 +1396,11 @@ object QueryCatalog {
         |FROM t""".stripMargin,
 
     // bigram list via zip-with-shifted-self; the zip's NULL-padded tail is
-    // filtered before the distinct. Pass-flag thresholds are the Spark
-    // side's integer comparisons verbatim.
+    // filtered before the distinct. Bigrams are hashed to the 60-bit md5
+    // fingerprint before list_distinct, mirroring the engine (which hashes
+    // so the countDistinct shuffle carries 16-byte rows, not strings).
+    // Pass-flag thresholds are the Spark side's integer comparisons
+    // verbatim.
     "text_quality_gopher" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
         |w AS (
@@ -1409,9 +1412,10 @@ object QueryCatalog {
         |  (length(text) - length(replace(text, '#', '')))
         |   + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
         |  greatest(len(l) - 1, 0) AS n_bigrams,
-        |  greatest(len(l) - 1, 0) - len(list_distinct(list_filter(
+        |  greatest(len(l) - 1, 0) - len(list_distinct(list_transform(list_filter(
         |    list_transform(list_zip(l, l[2:]), s -> s[1] || ' ' || s[2]),
-        |    x -> x IS NOT NULL))) AS n_dup_bigrams
+        |    x -> x IS NOT NULL),
+        |    x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)))) AS n_dup_bigrams
         | FROM d)
         |SELECT doc_id,
         | CAST(n_words AS BIGINT) AS n_words,
@@ -1766,9 +1770,10 @@ object QueryCatalog {
          |  (length(text) - length(replace(text, '#', '')))
          |   + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
          |  greatest(len(l) - 1, 0) AS n_bigrams,
-         |  greatest(len(l) - 1, 0) - len(list_distinct(list_filter(
+         |  greatest(len(l) - 1, 0) - len(list_distinct(list_transform(list_filter(
          |    list_transform(list_zip(l, l[2:]), s -> s[1] || ' ' || s[2]),
-         |    x -> x IS NOT NULL))) AS n_dup_bigrams
+         |    x -> x IS NOT NULL),
+         |    x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)))) AS n_dup_bigrams
          | FROM d),
          |ok AS (SELECT doc_id, lang, source, n_words FROM w
          | WHERE n_words >= 15 AND n_words <= 100000

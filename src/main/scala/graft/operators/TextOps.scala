@@ -179,9 +179,18 @@ object TextOps {
         (0 until t.length - 1).iterator.map(i => (id, t(i) + " " + t(i + 1)))
       }
       .toDF("doc_id", "bg")
+      // hash each bigram to the engine-portable 60-bit fingerprint BEFORE
+      // the aggregation: countDistinct's partial-distinct stage exchanges
+      // every distinct (doc_id, key) pair, and with raw `bg` that is
+      // O(corpus tokens) of full bigram STRINGS — the widest text-analysis
+      // shuffle in the catalog. Hashed, the exchange carries 16-byte rows
+      // (same contract as substringDedup). The distinct-hash count equals
+      // the distinct-bigram count modulo md5 collisions, and the oracle
+      // hashes identically, so the gate stays exact either way.
+      .select(col("doc_id"), fingerprintCol(col("bg")).as("bh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bg")).as("n_distinct_bigrams"))
+        countDistinct(col("bh")).as("n_distinct_bigrams"))
     perToken.join(bigrams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_letters"),
         col("n_alpha_words"), col("n_stop"), col("n_symbols"),

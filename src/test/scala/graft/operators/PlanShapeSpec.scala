@@ -100,6 +100,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(2000)}")
   }
 
+  test("gopher bigrams shuffle 60-bit hashes, not strings (structure + measured volume)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // structural: no Exchange may carry the raw bigram column — the
+    // countDistinct partial-distinct must aggregate over the hashed `bh`
+    val p = TextOps.gopherQuality(docs).queryExecution.executedPlan.toString
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("bg#"), exchangeLines)
+    assert(p.contains("bh#"), "hashed bigram column missing from the plan:\n" + p.take(2000))
+    // measured: the countDistinct exchange over hashed bigrams must carry
+    // materially narrower rows than the pre-hash form, which shipped every
+    // (doc_id, bigram-TEXT) pair. Both aggregation shapes are built in
+    // isolation and compared on the ShuffleExchange `dataSize` metric —
+    // UnsafeRow bytes entering the shuffle, pre-compression, deterministic
+    // for a fixed fixture (compressed bytesWritten is codec-dependent).
+    val bigramExpr = expr(
+      "transform(sequence(0, size(split(text, ' ', -1)) - 2), i -> " +
+        "concat(element_at(split(text, ' ', -1), i + 1), ' ', " +
+        "element_at(split(text, ' ', -1), i + 2)))")
+    def bigramRows = docs
+      .where(size(split(col("text"), " ", -1)) >= 2)
+      .select(col("doc_id").cast("long").as("doc_id"), explode(bigramExpr).as("bg"))
+    def measure(agg: org.apache.spark.sql.DataFrame): Long = {
+      agg.collect()
+      org.apache.spark.graft.PlanMetrics.shuffleDataSize(agg)
+    }
+    val hashedBytes = measure(
+      bigramRows.select(col("doc_id"), TextOps.fingerprintCol(col("bg")).as("bh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("bh")).as("nd")))
+    val stringBytes = measure(
+      bigramRows.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("bg")).as("nd")))
+    assert(hashedBytes > 0L && stringBytes > 0L, "dataSize probe measured nothing")
+    assert(hashedBytes * 4 <= stringBytes * 3,
+      s"hashed bigram shuffle $hashedBytes B is not <=0.75x the string form's " +
+        s"$stringBytes B — the hash projection no longer narrows the exchange")
+  }
+
   test("q1_agg scan prunes to the aggregated columns only") {
     val p = QueryCatalog.queries("q1_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

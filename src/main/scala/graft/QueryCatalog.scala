@@ -20,6 +20,16 @@ import graft.sources.Fixtures
 object QueryCatalog {
 
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+
+  /** Top-k first-iteration merges for [[TextOps.bpeEncode]], in rank order
+    * (n DESC, pair — the bpePairCounts cut). The collect is bounded by k
+    * (a merges table is vocab-sized by contract, like the IVF codebook);
+    * pair components split on code points to stay astral-safe. */
+  private def bpeMerges(s: SparkSession, dir: String, k: Int): IndexedSeq[(String, String)] =
+    TextOps.bpePairCounts(docs(s, dir), k).collect().toIndexedSeq.map { r =>
+      val cps = r.getString(0).codePoints().toArray
+      (new String(Character.toChars(cps(0))), new String(Character.toChars(cps(1))))
+    }
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def ord(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
@@ -514,6 +524,24 @@ object QueryCatalog {
     // tokenizer induction: exact top-50 adjacent character pairs (the
     // table the first BPE merge is chosen from)
     "bpe_pair_counts" -> ((s, dir) => TextOps.bpePairCounts(docs(s, dir), k = 50)),
+
+    // BPE tokenizer APPLICATION: encode every doc with the top-30 merges
+    // table induced from the pair statistics (k-row-bounded collect); the
+    // oracle replays the same merges in rank order via a recursive CTE
+    // over a bracketed-symbol string form — exact tokens, not just counts
+    "bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(docs(s, dir), bpeMerges(s, dir, k = 30))),
+
+    // sequence packing on REAL tokenizer output: the sequence_pack
+    // sequential fill, but n_tokens comes from bpeEncode instead of the
+    // whitespace proxy — the packing a training run would actually use
+    "sequence_pack_bpe" -> ((s, dir) =>
+      TextOps.packSequences(
+        TextOps.bpeEncode(docs(s, dir), bpeMerges(s, dir, k = 30)),
+        capacity = 256, nTokens = col("n_tokens"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))),
 
     // exact corpus length percentiles from the bounded-cardinality
     // length histogram — no distributed sort, no approxQuantile
@@ -1042,6 +1070,35 @@ object QueryCatalog {
   private def h60sql(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared CTE body replaying [[TextOps.bpeEncode]] in DuckDB: derive the
+    * top-k merges table (bpe_pair_counts statistics, rank = (n DESC, pair)),
+    * then apply each merge in rank order with a recursive CTE over a
+    * bracketed-symbol string form — every symbol is chr(1)‖sym‖chr(2), so
+    * `replace` of chr(1)x chr(2)chr(1)y chr(2) → chr(1)xy chr(2) is exactly
+    * the left-to-right non-overlapping adjacent-pair merge (units are
+    * self-delimited; no shared separator between matches). `fin.rep` holds
+    * the final bracketed form; token count = chr(1) occurrences. Delimiters
+    * are safe: document text is space + letters by construction. */
+  private def bpeRecSql(k: Int): String =
+    s"""m AS (
+       |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS r
+       |  FROM (SELECT pair, count(*) AS n
+       |    FROM (SELECT substring(w, i, 2) AS pair
+       |      FROM (SELECT w, unnest(range(1, len(w))) AS i
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)))
+       |    GROUP BY 1 ORDER BY n DESC, pair LIMIT $k)),
+       |rec AS (
+       |  SELECT doc_id, regexp_replace(text, '([^ ])', chr(1) || '\\1' || chr(2), 'g') AS rep, 0 AS r
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT rec.doc_id,
+       |    replace(rec.rep,
+       |      chr(1) || substring(m.pair, 1, 1) || chr(2) || chr(1) || substring(m.pair, 2, 1) || chr(2),
+       |      chr(1) || m.pair || chr(2)),
+       |    m.r
+       |  FROM rec JOIN m ON m.r = rec.r + 1),
+       |fin AS (SELECT doc_id, rep FROM rec WHERE r = (SELECT max(r) FROM m))""".stripMargin
+
   lazy val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -1254,6 +1311,26 @@ object QueryCatalog {
         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w))
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "bpe_encode" ->
+      s"""WITH RECURSIVE ${bpeRecSql(30)}
+         |SELECT doc_id,
+         |  CAST(len(rep) - len(replace(rep, chr(1), '')) AS BIGINT) AS n_tokens,
+         |  trim(regexp_replace(replace(replace(replace(rep, chr(2) || chr(1), ' '),
+         |    chr(1), ''), chr(2), ''), ' +', ' ', 'g')) AS tokens
+         |FROM fin""".stripMargin,
+
+    "sequence_pack_bpe" ->
+      s"""WITH RECURSIVE ${bpeRecSql(30)},
+         |t AS (SELECT doc_id,
+         |  CAST(len(rep) - len(replace(rep, chr(1), '')) AS BIGINT) AS n_tokens FROM fin),
+         |p AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM t)
+         |SELECT CAST(prefix // 256 AS BIGINT) AS bin, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY 1""".stripMargin,
 
     "length_percentiles" ->
       """WITH l AS (SELECT len(string_split(text, ' ')) AS len FROM documents),

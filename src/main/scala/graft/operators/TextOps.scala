@@ -109,14 +109,19 @@ object TextOps {
     * token totals (one row per partition) to the driver, broadcast the
     * cumulative offsets back, then a partition-local scan. Bin assignment
     * is partition-count-invariant by construction — offsets are computed
-    * against whatever boundaries the range partitioner picked. */
-  def packSequences(docs: DataFrame, capacity: Long): DataFrame = {
+    * against whatever boundaries the range partitioner picked.
+    *
+    * `nTokens` is the per-doc length measure — whitespace token count by
+    * default; pass [[bpeEncode]]'s `n_tokens` column to pack on REAL
+    * tokenizer output instead of the whitespace proxy. */
+  def packSequences(docs: DataFrame, capacity: Long,
+      nTokens: Column = size(tokens(col("text"))).cast("long")): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.TaskContext
     val parts = docs
       .select(col("doc_id").cast("long"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        nTokens.cast("long").as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
@@ -434,6 +439,78 @@ object TextOps {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+  }
+
+  /** BPE tokenizer APPLICATION: encode every document into subword tokens
+    * with a fixed ordered merges table — the step between tokenizer
+    * induction ([[bpePairCounts]]) and sequence packing that turns text
+    * into the token stream a training run actually consumes.
+    *
+    * Semantics (Sennrich et al. 2016 apply-merges-in-rank-order): per
+    * whitespace word, symbols start as single code points; merges apply in
+    * rank order, each merging its adjacent (x, y) occurrences
+    * left-to-right non-overlapping. The implementation is the standard
+    * min-rank-first loop (repeatedly merge the lowest-rank pair present,
+    * found via an O(1) pair→rank map) — equivalent to apply-in-order for
+    * any WELL-FORMED merges table (one whose components are base symbols
+    * or products of strictly earlier merges: true of every learned table,
+    * and what TextOpsSpec fuzz-pins against a naive apply-in-order twin).
+    * Cost per word is O(len · merges-applied), independent of vocabulary
+    * size — a 50k-merge vocab costs the same as 30.
+    *
+    * Scale shape: a zero-shuffle typed map over the corpus — the merges
+    * table (vocab-bounded, ≤~100k pairs) rides the task closure; at
+    * 100 TB this runs at parquet-scan speed with full column pruning,
+    * like [[dsirScores]]. Output: (doc_id, n_tokens, tokens) with tokens
+    * space-joined (symbols never contain spaces — words are split on
+    * them). */
+  def bpeEncode(docs: DataFrame, merges: IndexedSeq[(String, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val out = new StringBuilder
+          var n = 0L
+          text.split(" ", -1).foreach { w =>
+            if (w.nonEmpty) {
+              // code points, not UTF-16 units — astral chars are one symbol
+              var syms: Array[String] =
+                w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+              var continue = syms.length > 1
+              while (continue) {
+                var best = Int.MaxValue
+                var i = 0
+                while (i < syms.length - 1) {
+                  val rk = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+                  if (rk < best) best = rk
+                  i += 1
+                }
+                if (best == Int.MaxValue) continue = false
+                else {
+                  val (x, y) = merges(best)
+                  val res = scala.collection.mutable.ArrayBuffer.empty[String]
+                  var j = 0
+                  while (j < syms.length) {
+                    if (j + 1 < syms.length && syms(j) == x && syms(j + 1) == y) {
+                      res += x + y; j += 2
+                    } else { res += syms(j); j += 1 }
+                  }
+                  syms = res.toArray
+                  continue = syms.length > 1
+                }
+              }
+              syms.foreach { s =>
+                if (out.nonEmpty) out += ' '
+                out ++= s
+                n += 1
+              }
+            }
+          }
+          (id, n, out.toString)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "tokens")
   }
 
   /** Exact corpus length percentiles (the sequence-length planning stats

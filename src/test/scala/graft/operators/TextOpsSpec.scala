@@ -104,4 +104,78 @@ class TextOpsSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("bpeEncode: known vectors with COMPOSED merges, round-trip, idempotent vocab") {
+    import spark.implicits._
+    // (t,h) then (th,e): the second merge consumes the first's product —
+    // the composition the first-iteration catalog table can't express but
+    // the operator must handle (every learned table composes)
+    val merges = IndexedSeq(("t", "h"), ("th", "e"))
+    val df = Seq((1L, "the theme hat"), (2L, "  eth  "), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(df, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((7L, "the the m e h a t")))
+    assert(out(2L) == ((2L, "e th"))) // empty words dropped; (t,h) fires inside "eth"
+    assert(out(3L) == ((0L, "")))
+  }
+
+  test("bpeEncode: fuzz — min-rank-first equals naive apply-in-rank-order; round-trip") {
+    import spark.implicits._
+    // naive twin: apply each merge strictly in rank order, left-to-right
+    def naive(text: String, merges: IndexedSeq[(String, String)]): Seq[String] =
+      text.split(" ", -1).toSeq.filter(_.nonEmpty).flatMap { w =>
+        var syms: Vector[String] = w.map(_.toString).toVector
+        merges.foreach { case (x, y) =>
+          val res = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+              res += x + y; i += 2
+            } else { res += syms(i); i += 1 }
+          }
+          syms = res.result()
+        }
+        syms
+      }
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    // well-formed composed merges: each later merge may reference an
+    // earlier product (pick components from the growing symbol pool)
+    val pool = scala.collection.mutable.ArrayBuffer(alpha.map(_.toString): _*)
+    val merges = (0 until 12).map { _ =>
+      val x = pool(rnd.nextInt(pool.length))
+      val y = pool(rnd.nextInt(pool.length))
+      pool += x + y
+      (x, y)
+    }.distinct.toIndexedSeq
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until 8).map(_ =>
+        (0 until 1 + rnd.nextInt(10)).map(_ => alpha(rnd.nextInt(4))).mkString).mkString(" "))
+    }
+    val got = TextOps.bpeEncode(texts.toDF("doc_id", "text"), merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    texts.foreach { case (id, text) =>
+      val want = naive(text, merges)
+      assert(got(id) == ((want.length.toLong, want.mkString(" "))), s"doc $id: '$text'")
+      // round-trip: concatenated tokens reproduce the text modulo spaces
+      assert(got(id)._2.replace(" ", "") == text.replace(" ", ""))
+    }
+  }
+
+  test("bpeEncode feeds packSequences: real-token bins obey the sequential-fill law") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = IndexedSeq(("e", "r"), ("o", "r"), ("i", "n"))
+    val enc = TextOps.bpeEncode(docs, merges)
+    val bins = TextOps.packSequences(enc, capacity = 256, nTokens = col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var prefix = 0L
+    bins.foreach { case (_, n, bin) =>
+      assert(bin == prefix / 256)
+      prefix += n
+    }
+    // BPE merging can only shrink the symbol stream vs its character count
+    val charTokens = docs.selectExpr("sum(length(replace(text, ' ', '')))").collect()(0).getLong(0)
+    assert(prefix < charTokens && prefix > 0)
+    spark.catalog.clearCache()
+  }
 }

@@ -115,7 +115,7 @@ object Bench {
       "dsir_score", "domain_stats",
       "token_histogram", "intradoc_dedup", "semdedup",
       "streaming_crosscorpus", "substring_dedup",
-      "bpe_pair_counts", "length_percentiles", "sessionize",
+      "bpe_pair_counts", "bpe_encode", "length_percentiles", "sessionize",
       "streaming_sessions", "pipeline_llm")
     // min-of-N per query: this host's CPU-steal bursts inflate single-shot
     // walls by up to 10× (BENCH/BASELINE.md), and one burst used to taint a

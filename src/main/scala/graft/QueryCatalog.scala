@@ -912,6 +912,29 @@ object QueryCatalog {
       tbl.pendingWork(s.range(0, 60).toDF("part_key"), "part_key")
     }),
 
+    // ---- S4/G1: snapshot-as-of time travel ------------------------------------
+    // two data commits into a fresh table, then three historical views in one
+    // result: the table AS OF the first snapshot (10 rows — the second commit
+    // invisible), the current table (20 rows), and the pending-work set a
+    // resumer would have computed right after snapshot 1 — "reproduce
+    // yesterday's training set" end-to-end. The oracle re-derives all three
+    // analytically from the committed key arithmetic.
+    "resume_time_travel" -> ((s, _) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_tt_q").toString
+      val tbl = new graft.sources.IcebergLite(root, s)
+      val w1 = s.range(0, 10).select((col("id") * 3).as("part_key"), (col("id") * 21).as("value"))
+      val s1 = tbl.commit(Some((w1, "work")), w1.select("part_key"), "append")
+      val w2 = s.range(10, 20).select((col("id") * 3).as("part_key"), (col("id") * 21).as("value"))
+      tbl.commit(Some((w2, "work")), w2.select("part_key"), "append")
+      tbl.readDataAsOf("work", s1)
+        .select(lit("asof_s1").as("view_name"), col("part_key"), col("value"))
+        .unionAll(tbl.readData("work")
+          .select(lit("current").as("view_name"), col("part_key"), col("value")))
+        .unionAll(tbl.pendingWorkAsOf(s.range(0, 60).toDF("part_key"), "part_key", s1)
+          .select(lit("pending_asof_s1").as("view_name"), col("part_key"),
+            lit(-1L).as("value")))
+    }),
+
     // ---- multimodal batched decode (REAL javax.imageio PNG decode) ---------
     // the decoded width/height/channel-means must reproduce what was
     // encoded — the oracle derives them analytically, so a broken decode
@@ -1737,6 +1760,15 @@ object QueryCatalog {
 
     "resume_pending" ->
       "SELECT r.range AS part_key FROM range(0, 60) r WHERE r.range % 3 <> 0",
+
+    "resume_time_travel" ->
+      """SELECT 'asof_s1' AS view_name, r.range * 3 AS part_key, r.range * 21 AS value
+        |FROM range(0, 10) r
+        |UNION ALL
+        |SELECT 'current', r.range * 3, r.range * 21 FROM range(0, 20) r
+        |UNION ALL
+        |SELECT 'pending_asof_s1', r.range, CAST(-1 AS BIGINT)
+        |FROM range(0, 60) r WHERE r.range % 3 <> 0 OR r.range >= 30""".stripMargin,
 
     "extract_chips" ->
       s"""WITH grid AS (SELECT * FROM ${OracleSql.gridValues(128, 128, "whole_overlap")}),

@@ -51,6 +51,22 @@ class IcebergLite(root: String, spark: SparkSession) {
 
   def currentSnapshot(): Long = committedSnapshots().lastOption.getOrElse(0L)
 
+  /** Committed ids visible AS OF snapshot `snap`: the VERSION prefix ending
+    * at `snap` (VERSION is append-only in commit order, so the prefix IS the
+    * table state right after that commit published). Travelling to an id not
+    * in VERSION — never allocated, torn (allocated but never published), or
+    * expired by [[compact]] — is an error rather than an empty read, matching
+    * Iceberg's snapshot-expiry semantics: the caller must know its pin is
+    * gone, not silently retrain on zero rows. */
+  def committedSnapshotsAsOf(snap: Long): Seq[Long] = {
+    val committed = committedSnapshots()
+    val idx = committed.indexOf(snap)
+    require(idx >= 0,
+      s"snapshot $snap is not visible: never committed, torn, or expired by compaction " +
+        s"(committed: ${committed.mkString("[", ",", "]")})")
+    committed.take(idx + 1)
+  }
+
   /** Allocate a fresh snapshot id from the persisted counter. Ids consumed
     * by torn commits are never reused, so a retry can never write under an
     * orphan's id and accidentally legitimize its files. */
@@ -114,26 +130,49 @@ class IcebergLite(root: String, spark: SparkSession) {
     * directories are visible. Returns empty when the table has committed
     * snapshots but nothing was ever written under data/<sub> (metadata-only
     * commits, or a first data commit to a different sub). */
-  def readData(sub: String): DataFrame = {
-    val committed = committedSnapshots()
-    if (committed.isEmpty || !Files.exists(Paths.get(root, "data", sub)))
+  def readData(sub: String): DataFrame =
+    readDataVisible(sub, committedSnapshots())
+
+  /** Time-travel data reader: the table exactly as it stood when `snap`
+    * published — "reproduce yesterday's training set" is
+    * `readDataAsOf(sub, pinnedSnapshotId)`. Same partition-pruned plan shape
+    * as [[readData]]; only the visible-id set differs, so the cost of an
+    * as-of read is the cost of reading that snapshot's prefix, never a log
+    * replay. */
+  def readDataAsOf(sub: String, snap: Long): DataFrame =
+    readDataVisible(sub, committedSnapshotsAsOf(snap))
+
+  private def readDataVisible(sub: String, visible: Seq[Long]): DataFrame =
+    if (visible.isEmpty || !Files.exists(Paths.get(root, "data", sub)))
       spark.emptyDataFrame
-    else committedOnly(spark.read.parquet(s"$root/data/$sub"), committed)
+    else committedOnly(spark.read.parquet(s"$root/data/$sub"), visible)
       .drop("snapshot_id")
-  }
 
   /** Committed manifest rows visible at the current snapshot. */
-  def manifests(): DataFrame = {
-    val committed = committedSnapshots()
-    if (committed.isEmpty) spark.emptyDataFrame
-    else committedOnly(spark.read.parquet(s"$metaDir/manifests"), committed)
-  }
+  def manifests(): DataFrame =
+    manifestsVisible(committedSnapshots())
+
+  /** Manifest rows as of snapshot `snap` (the resume/skip-existing state a
+    * worker would have observed right after that commit). */
+  def manifestsAsOf(snap: Long): DataFrame =
+    manifestsVisible(committedSnapshotsAsOf(snap))
+
+  private def manifestsVisible(visible: Seq[Long]): DataFrame =
+    if (visible.isEmpty) spark.emptyDataFrame
+    else committedOnly(spark.read.parquet(s"$metaDir/manifests"), visible)
 
   /** Resume filter: drop work units whose part_key is already committed
     * (anti-join against the manifest — satproc skip-existing semantics). */
   def pendingWork(work: DataFrame, keyCol: String): DataFrame =
     if (committedSnapshots().isEmpty) work
     else work.join(manifests().select(col("part_key").as(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
+
+  /** The pending-work set as a worker would have computed it right after
+    * snapshot `snap` published — replays a historical resume decision for
+    * audit/lineage ("which tiles were still open when job J started?"). */
+  def pendingWorkAsOf(work: DataFrame, keyCol: String, snap: Long): DataFrame =
+    work.join(manifestsAsOf(snap).select(col("part_key").as(keyCol)).distinct(),
       Seq(keyCol), "left_anti")
 
   /** Maintenance: snapshot expiry + manifest compaction (single-writer op,

@@ -156,6 +156,38 @@ class ResumeSpec extends AnyFunSuite {
     assert(table.committedSnapshots() == Seq(201L, 202L))
   }
 
+  test("time travel: as-of(s1) differs from current after append, equals it at head, errors on torn/expired ids") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-tt").toString
+    val table = new IcebergLite(tmp, spark)
+    val b1 = (0 until 5).map(k => (k.toLong, s"v$k")).toDF("id", "payload")
+    val s1 = table.commit(Some((b1, "rows")), b1.select(col("id").cast("string").as("part_key")), "append")
+    // a torn commit burns an id that must never become travelable
+    val torn = table.commit(Some((b1, "rows")),
+      b1.select(col("id").cast("string").as("part_key")), "append", abortBeforeVersionMove = true)
+    val b2 = (5 until 9).map(k => (k.toLong, s"v$k")).toDF("id", "payload")
+    val s2 = table.commit(Some((b2, "rows")), b2.select(col("id").cast("string").as("part_key")), "append")
+
+    // as-of(s1) ≠ current after the append; as-of(head) == current read
+    assert(table.readDataAsOf("rows", s1).count() == 5)
+    assert(table.readData("rows").count() == 9)
+    assert(table.readDataAsOf("rows", s2).collect().map(_.toSeq).toSet ==
+      table.readData("rows").collect().map(_.toSeq).toSet)
+    assert(table.manifestsAsOf(s1).count() == 5)
+    // historical resume decision: after s1, b2's keys were still pending
+    val work = (0 until 9).map(_.toString).toDF("part_key")
+    assert(table.pendingWorkAsOf(work, "part_key", s1).as[String].collect().sorted
+      .sameElements((5 until 9).map(_.toString)))
+    assert(table.pendingWorkAsOf(work, "part_key", s2).count() == 0)
+
+    // torn id: never committed, must error rather than read empty
+    intercept[IllegalArgumentException](table.readDataAsOf("rows", torn))
+    // compaction expires s1/s2 — the pin is gone and must say so
+    table.compact()
+    intercept[IllegalArgumentException](table.readDataAsOf("rows", s1))
+    assert(table.readDataAsOf("rows", table.currentSnapshot()).count() == 9)
+  }
+
   test("pages written Iceberg-style and read back preserve the text invariant") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-pages").toString

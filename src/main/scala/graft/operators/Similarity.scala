@@ -51,20 +51,50 @@ object Similarity {
     }
 
   /** IVF coarse-quantizer centroids: a deterministic sample of the data
-    * itself (the classic random-init codebook; a k-means refinement would
-    * run as a handful of extra Spark jobs). Tiny — collected once and
+    * itself (the classic random-init codebook). Tiny — collected once and
     * inlined as literals so assignment stays in codegen.
     *
-    * K-means refinement was measured and deliberately NOT wired in: on the
-    * fixture's near-uniform embeddings, 1–5 Lloyd rounds drop recall@10
-    * from 0.920 to 0.84 — a sampled codebook over uniform data is already
-    * balanced, and tightening clusters shrinks what nProbe=4 covers. For a
-    * clustered real corpus the refinement is: assign via [[ivfBucket]],
-    * groupBy(bucket).avg each component, re-inline as literals, repeat. */
+    * Refinement is data-dependent: on near-uniform embeddings (the sf
+    * fixtures) 1–5 Lloyd rounds DROP recall@10 from 0.920 to 0.84 — a
+    * sampled codebook over uniform data is already balanced, and tightening
+    * clusters shrinks what nProbe=4 covers — so the catalog queries run at
+    * `lloydRounds = 0`. On a CLUSTERED corpus the sampled init is the
+    * failure mode (a corpus ordered by source seeds every centroid from one
+    * cluster) and [[kmeansRefine]] is the fix: measured on a planted
+    * 8-cluster fixture, one round lifts recall@10 from the collapsed init to
+    * ≈1.0 (EmbeddingRecallSpec pins it). Callers with clustered data pass
+    * `lloydRounds ≥ 1` to [[ivfTopK]]/[[semDedup]]. */
   def ivfCentroids(vectors: DataFrame, nCentroids: Int): Seq[Seq[Double]] = {
     vectors.orderBy("vec_id").limit(nCentroids)
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0)).toSeq
+  }
+
+  /** Lloyd refinement of an IVF codebook: `rounds` passes of assign →
+    * per-bucket component mean. Scale shape per round: assignment is the
+    * [[ivfBucket]] codegen argmax over literal centroids (one scan, no
+    * shuffle), and the mean is a posexplode + groupBy(bucket, pos) whose
+    * partial aggregation combines map-side to ≤ nCentroids×dim rows per
+    * task — the exchange carries the codebook, never the vectors. The
+    * collected result is nCentroids×dim doubles (the same tiny literal
+    * table [[ivfCentroids]] produces). Buckets that receive no vectors keep
+    * their previous centroid (the standard empty-cluster rule). */
+  def kmeansRefine(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                   rounds: Int): Seq[Seq[Double]] = {
+    var cur = centroids
+    for (_ <- 0 until rounds) {
+      val means = vectors
+        .select(ivfBucket(col("embedding"), cur).as("bucket"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("bucket", "pos").agg(avg("v").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (b, rows) =>
+          b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cur = cur.indices.map(b => means.getOrElse(b, cur(b)))
+    }
+    cur
   }
 
   /** IVF bucket id: argmax cosine over the centroid codebook (tie → lowest
@@ -85,10 +115,15 @@ object Similarity {
   }
 
   /** IVF top-k: probe only the nProbe nearest centroids' buckets. Recall <1
-    * by construction; the baseline for quality is bruteTopK. */
+    * by construction; the baseline for quality is bruteTopK. `lloydRounds`
+    * refines the sampled codebook ([[kmeansRefine]]) — leave 0 for
+    * near-uniform data, use ≥1 when the corpus is clustered (see
+    * [[ivfCentroids]] for the measured trade). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(vectors, nCentroids)
+              nCentroids: Int = 16, nProbe: Int = 4,
+              lloydRounds: Int = 0): DataFrame = {
+    val centroids =
+      kmeansRefine(vectors, ivfCentroids(vectors, nCentroids), lloydRounds)
     val bucketed = vectors.withColumn("bucket", ivfBucket(col("embedding"), centroids))
     val qDots = centroids.zipWithIndex.map { case (c, d) =>
       val norm = math.sqrt(c.map(x => x * x).sum)
@@ -219,8 +254,10 @@ object Similarity {
     * assignment is the [[ivfBucket]] codegen argmax — same codebook, same
     * tie rule as `ann_ivf`, already cross-engine-proven. */
   def semDedup(vectors: DataFrame, tau: Double,
-               nCentroids: Int = 16, bucketCap: Int = 4096): DataFrame = {
-    val centroids = ivfCentroids(vectors, nCentroids)
+               nCentroids: Int = 16, bucketCap: Int = 4096,
+               lloydRounds: Int = 0): DataFrame = {
+    val centroids =
+      kmeansRefine(vectors, ivfCentroids(vectors, nCentroids), lloydRounds)
     val assigned = vectors
       .withColumn("bucket", ivfBucket(col("embedding"), centroids))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)

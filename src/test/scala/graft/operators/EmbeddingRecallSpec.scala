@@ -46,6 +46,60 @@ class EmbeddingRecallSpec extends AnyFunSuite {
     assert(single.subsetOf(lsh), "band 0 candidates must survive banding")
   }
 
+  // The sf fixtures are near-uniform, where Lloyd refinement measurably
+  // HURTS (COVERAGE.md records the negative result). This fixture is the
+  // other regime: 8 planted Gaussian clusters, rows ORDERED BY CLUSTER —
+  // a crawl grouped by source — so the sampled codebook (first 16 vec_ids)
+  // seeds every centroid inside cluster 0, the worst case for IVF. One
+  // Lloyd round must recover the planted structure.
+  test("clustered corpus: one Lloyd round recovers IVF recall from the collapsed sampled init") {
+    import spark.implicits._
+    val rng = new scala.util.Random(101)
+    val dim = 64; val nClusters = 8; val per = 250
+    val centers = Array.fill(nClusters, dim)(rng.nextGaussian())
+    val rows = for (c <- 0 until nClusters; j <- 0 until per) yield {
+      val emb = Array.tabulate(dim)(d =>
+        (centers(c)(d) + 0.35 * rng.nextGaussian()).toFloat)
+      ((c * per + j).toLong, emb)
+    }
+    val v = rows.toDF("vec_id", "embedding")
+    // one query per cluster, away from the codebook sample ids
+    val q = v.where(col("vec_id") % per === 37)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteTopK(v, q, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+    def recallAt(lloydRounds: Int, nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(v, q, 10, dim, nCentroids = 16,
+          nProbe = nProbe, lloydRounds = lloydRounds)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      // keys is a Set — map to a Seq first, or equal per-query recalls
+      // collapse before the sum (Set[Double] dedup)
+      exact.keys.toSeq.map(k =>
+        (got.getOrElse(k, Set.empty) intersect exact(k)).size / 10.0)
+        .sum / exact.size
+    }
+
+    val r0 = recallAt(0, 1); val r1 = recallAt(1, 1)
+    val r0p4 = recallAt(0, 4); val r1p4 = recallAt(1, 4)
+    info(f"recall@10 nProbe=1: init=$r0%.3f lloyd1=$r1%.3f; nProbe=4: init=$r0p4%.3f lloyd1=$r1p4%.3f")
+    // refined centroids sit at the planted means → each cluster concentrates
+    // into one bucket; a single probe must then be near-perfect, while the
+    // collapsed init leaves cluster members scattered across buckets
+    assert(r1 > r0 + 0.1, s"Lloyd round did not lift nProbe=1 recall: $r0 -> $r1")
+    // not 1.0: with 16 centroids over 8 clusters, two refined centroids can
+    // legitimately share one planted cluster and split it at nProbe=1
+    assert(r1 >= 0.8, s"refined single-probe recall collapsed: $r1")
+    assert(r1p4 >= 0.95, s"refined 4-probe recall should be near-exact, got $r1p4")
+
+    // semDedup on the same fixture: refinement must not invent duplicates —
+    // τ=0.97 is above the intra-cluster cosine, so nothing is a dup either way
+    val sd = Similarity.semDedup(v, tau = 0.97, nCentroids = 16, lloydRounds = 1)
+    assert(sd.where(col("is_dup") === 1).count() == 0)
+    assert(sd.count() == nClusters.toLong * per)
+  }
+
   test("sign margins: no fixture dot is near the 0 cutoff") {
     val rows = vecs.select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)

@@ -82,7 +82,9 @@ class KnnSimilaritySpec extends AnyFunSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val ivf = Similarity.ivfTopK(v, q, 10, dim = 64, nCentroids = 16, nProbe = 4)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val recall = exact.keys.map(k =>
+    // keys.toSeq: mapping a Set[Long] to per-query recalls would dedup
+    // equal values before the sum and understate the mean
+    val recall = exact.keys.toSeq.map(k =>
       (ivf.getOrElse(k, Set.empty) intersect exact(k)).size / 10.0).sum / exact.size
     assert(recall >= 0.25, s"IVF recall@10 = $recall (coverage baseline 4/16)")
     // probing every bucket must reproduce the exact result

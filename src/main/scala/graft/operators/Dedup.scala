@@ -618,16 +618,21 @@ object Dedup {
         () => if (hotKeyRowLimit == Long.MaxValue ||
                   4L * base.count() <= hotKeyRowLimit) 0L
               else approxMaxKeyRows(blocks, Seq("q", "qk")))
-      val cand = blk.as("x").join(blk.as("y"),
+      // hamming verify BEFORE the cross-quarter distinct: bit_count is a
+      // codegen'd couple of instructions evaluated inside the join stage,
+      // while the distinct is an exchange — filtering first shrinks that
+      // exchange from every quarter-collision candidate (×2 simhash longs
+      // per row) to the surviving pairs only. Identical output: a pair
+      // seen via several quarters has the same hamming on every route.
+      val pairs = blk.as("x").join(blk.as("y"),
           col("x.q") === col("y.q") && col("x.qk") === col("y.qk") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
-          col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
-        .distinct()
-      val pairs = cand
-        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .withColumn("hamming",
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
         .where(col("hamming") <= maxHamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("hamming"))
+        .distinct()
       (pairs, blk.select("doc_id").distinct())
     }
 

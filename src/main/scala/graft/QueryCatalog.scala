@@ -21,6 +21,12 @@ object QueryCatalog {
 
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
 
+  /** Fixed BM25 query set over the documents vocabulary (shared verbatim
+    * with the oracle's VALUES list). */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash join merge", 1L -> "slow scan filter",
+    2L -> "customer order query", 3L -> "vector batch data stream")
+
   /** Top-k first-iteration merges for [[TextOps.bpeEncode]], in rank order
     * (n DESC, pair — the bpePairCounts cut). The collect is bounded by k
     * (a merges table is vocab-sized by contract, like the IVF codebook);
@@ -493,6 +499,19 @@ object QueryCatalog {
     // corpus vocabulary: exact top-100 tokens by occurrence, tie-broken by
     // token so the k-boundary is engine-deterministic
     "token_histogram" -> ((s, dir) => TextOps.tokenHistogram(docs(s, dir), k = 100)),
+
+    // inverted index as a relation: (term, doc_id, tf) posting rows — one
+    // map-side-combined aggregation over the exploded token stream
+    "inverted_index" -> ((s, dir) => Search.invertedIndex(docs(s, dir))),
+
+    // BM25 ranked retrieval: 4 fixed queries, top-10 docs each. Rational
+    // idf + per-term micro-unit flooring keep the per-doc score an exact
+    // integer sum (Search.bm25TopK), so ranking is engine-total
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val q = Bm25Queries.toDF("qid", "qtext")
+      Search.bm25TopK(docs(s, dir), q, k = 10)
+    }),
 
     // cross-document substring overlap at stride 1: the planted footer
     // (every 3rd doc, same plant as chunk_dedup) plus the corpus's exact
@@ -1327,6 +1346,46 @@ object QueryCatalog {
       """SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 100""".stripMargin,
+
+    "inverted_index" ->
+      """SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the scoring expression is the SAME IEEE tree Search.bm25TopK builds
+    // (constants interpolated from the identical Scala doubles), floored to
+    // micro-units per term BEFORE the sum so the per-doc score is an exact
+    // integer in both engines
+    "bm25_topk" -> {
+      val (k1, b) = (1.2, 0.75)
+      val values = Bm25Queries
+        .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+      s"""WITH post AS (
+         |  SELECT term, doc_id, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |q(qid, qtext) AS (VALUES $values),
+         |qt AS (SELECT DISTINCT qid, term FROM
+         |  (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q)),
+         |m AS (SELECT p.term, p.doc_id, p.tf FROM post p
+         |  WHERE p.term IN (SELECT DISTINCT term FROM qt)),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
+         |scored AS (SELECT qt.qid, m.doc_id,
+         |  CAST(floor((CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5)
+         |    * ((m.tf * ${k1 + 1.0}) / (m.tf + $k1 * (${1.0 - b} + $b * (d.dl / s.avgdl))))
+         |    * 1000000.0) AS BIGINT) AS stu
+         |  FROM m JOIN qt ON m.term = qt.term JOIN dft f ON m.term = f.term
+         |  JOIN dl d ON m.doc_id = d.doc_id CROSS JOIN stats s),
+         |agg AS (SELECT qid, doc_id, CAST(sum(stu) AS BIGINT) AS score_u
+         |  FROM scored GROUP BY 1, 2)
+         |SELECT qid, rank, doc_id, score_u FROM (
+         |  SELECT qid, doc_id, score_u, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score_u DESC, doc_id) AS INT) AS rank
+         |  FROM agg) WHERE rank <= 10""".stripMargin
+    },
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -27,6 +27,27 @@ object QueryCatalog {
     0L -> "hash join merge", 1L -> "slow scan filter",
     2L -> "customer order query", 3L -> "vector batch data stream")
 
+  /** PQ code assignment as SQL (shared by pq_encode / pq_topk): the same
+    * data-sampled codebook, subspace slices and 2·x·c − |c|² argmax tree
+    * [[graft.operators.Similarity.pqEncode]] evaluates, tie → lowest code. */
+  private val pqAssignCte: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |cent AS (
+      | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, e
+      | FROM v ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT CAST(r.range AS INT) AS sub FROM range(0, 8) r),
+      |csub AS (SELECT s.sub, c.j,
+      |  list_slice(c.e, s.sub*8 + 1, (s.sub+1)*8) AS ce
+      | FROM cent c CROSS JOIN subs s),
+      |scoredv AS (SELECT v.vec_id, cs.sub, cs.j,
+      |  list_dot_product(list_slice(v.e, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
+      |    - list_dot_product(cs.ce, cs.ce) AS score
+      | FROM v CROSS JOIN csub cs),
+      |assign AS (SELECT vec_id, sub, j AS code FROM (
+      |  SELECT vec_id, sub, j, row_number() OVER (
+      |    PARTITION BY vec_id, sub ORDER BY score DESC, j) AS rn
+      |  FROM scoredv) WHERE rn = 1)""".stripMargin
+
   /** Top-k first-iteration merges for [[TextOps.bpeEncode]], in rank order
     * (n DESC, pair — the bpePairCounts cut). The collect is bounded by k
     * (a merges table is vocab-sized by contract, like the IVF codebook);
@@ -340,6 +361,17 @@ object QueryCatalog {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(v, q, k = 10, dim = 64)
         .select(col("qid"), col("rank"), col("vec_id"), fp6(col("cos")).as("cos_fp"))
+    }),
+    // product quantization: 64 floats → 8 codes (one per subspace); a
+    // zero-shuffle codegen scan
+    "pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(emb(s, dir).select(col("vec_id"), col("embedding")))),
+    // ADC top-k over the PQ codes: broadcast lut equi-join + integer sum
+    "pq_topk" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopK(v, q, k = 10)
     }),
 
     // ---- text analysis -----------------------------------------------------
@@ -1761,6 +1793,29 @@ object QueryCatalog {
          | FROM cand)
          |SELECT qid, rank::INT AS rank, vec_id, CAST(FLOOR(cos*1000000.0) AS BIGINT) AS cos_fp
          |FROM r WHERE rank <= 10""".stripMargin,
+
+    // shared PQ scaffolding: data-sampled codebook sliced per subspace, the
+    // same 2·x·c − |c|² argmax tree the engine evaluates (|x|² constant per
+    // row), tie → lowest code
+    "pq_encode" ->
+      s"""WITH $pqAssignCte
+         |SELECT vec_id, sub, code FROM assign""".stripMargin,
+
+    "pq_topk" ->
+      s"""WITH $pqAssignCte,
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |lut AS (SELECT q.qid, cs.sub, cs.j AS code,
+         |  CAST(floor((list_dot_product(
+         |      list_slice(q.qe, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
+         |    - list_dot_product(cs.ce, cs.ce)) * 1000000.0) AS BIGINT) AS lut_u
+         | FROM q CROSS JOIN csub cs),
+         |sc AS (SELECT l.qid, a.vec_id, CAST(sum(l.lut_u) AS BIGINT) AS score_u
+         | FROM assign a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+         | GROUP BY 1, 2),
+         |r AS (SELECT qid, vec_id, score_u,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score_u DESC, vec_id) AS rank
+         | FROM sc WHERE vec_id <> qid)
+         |SELECT qid, rank::INT AS rank, vec_id, score_u FROM r WHERE rank <= 10""".stripMargin,
 
     "retile_64" -> OracleSql.retile64,
 

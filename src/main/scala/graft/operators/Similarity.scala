@@ -143,6 +143,86 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the embedding space is cut
+    * into `m` contiguous subspaces of dim/m components; each subspace gets a
+    * `ksub`-entry codebook sampled from the data ([[ivfCentroids]]'s
+    * deterministic first-ids sample, sliced per subspace). Returned as
+    * m × ksub × (dim/m) doubles — tiny, inlined as literals downstream. */
+  def pqCodebooks(vectors: DataFrame, m: Int, ksub: Int,
+                  dim: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val samples = ivfCentroids(vectors, ksub)
+    (0 until m).map(s => samples.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ encode: each vector compresses to m small codes — code s is the
+    * argmin-L2 centroid of subspace s (64 floats → 8 bytes at m=8/ksub=16,
+    * the memory trade that lets a 100-TB embedding column fit a RAM-resident
+    * ANN index). argmin ||x−c||² ⟺ argmax (2·x·c − |c|²) since |x|² is
+    * constant per row — one dot per centroid, the same single-evaluation
+    * struct-max as [[ivfBucket]] (tie → lowest code). Zero shuffle: one
+    * codegen scan emitting (vec_id, sub, code) rows. */
+  def pqEncode(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+               dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(vectors, m, ksub, dim)
+    val dsub = dim / m
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col("embedding"), s * dsub + 1, dsub)
+      val scored = array(books(s).zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        struct(
+          (graft.functions.VectorOps.dot(sub, array(c.map(lit(_)): _*)) * lit(2.0)
+            - lit(c2)).as("v"),
+          lit(-j).as("nj"))
+      }: _*)
+      (-array_max(scored).getField("nj")).cast("int")
+    }
+    vectors.select(col("vec_id"),
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+  }
+
+  /** PQ top-k via asymmetric distance computation: the query stays exact
+    * and scores a compressed vector as Σ_s lut[s][code_s] with
+    * lut[s][j] = 2·q_s·c_{s,j} − |c_{s,j}|² (rank-equivalent to −||q−x̂||²,
+    * the |q|² term being constant per query). Scale shape: the lut is
+    * queries × m × ksub rows — broadcast — and the only corpus-sized plan is
+    * the (sub, code) equi-join against the encoded relation followed by a
+    * map-side-combined integer sum. Per-subspace lut entries are floored to
+    * micro-units BEFORE the sum (the BM25 trick), so the ADC score is an
+    * exact integer and ranking is engine-total. Returns
+    * (qid, rank, vec_id, score_u) — approximate by construction; quality is
+    * pinned against [[bruteTopK]] and an in-memory ADC reference in PqSpec. */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(vectors, m, ksub, dim)
+    val dsub = dim / m
+    val encoded = pqEncode(vectors, m, ksub, dim)
+    val lutEntries = (0 until m).flatMap { s =>
+      val qsub = slice(col("qvec"), s * dsub + 1, dsub)
+      books(s).zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        struct(lit(s).as("sub"), lit(j).as("code"),
+          floor((graft.functions.VectorOps.dot(qsub, array(c.map(lit(_)): _*)) * lit(2.0)
+            - lit(c2)) * lit(1e6)).as("lut_u"))
+      }
+    }
+    val lut = queries.select(col("qid"),
+        explode(array(lutEntries: _*)).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.code").as("code"),
+        col("e.lut_u").as("lut_u"))
+    val scored = encoded.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("qid", "vec_id").agg(sum("lut_u").as("score_u"))
+    val w = WExpr.partitionBy(col("qid"))
+      .orderBy(col("score_u").desc, col("vec_id"))
+    scored.where(col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "score_u")
+  }
+
   /** Sampled estimate of the hottest (band, key) bucket's row count —
     * see [[graft.operators.Dedup.approxMaxKeyRows]] for the estimator
     * rationale (detects dominance, not small counts). */

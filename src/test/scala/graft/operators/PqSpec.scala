@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: encode shape/determinism, the ADC scoring law
+  * against an independent in-memory reference, and a recall floor vs exact
+  * brute-force top-k (the oracle embeds the same codebooks, so the
+  * cross-engine hash gate cannot catch a quality collapse — this can). */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  private lazy val vecs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  test("pqEncode: m codes per vector, each in [0, ksub)") {
+    val enc = Similarity.pqEncode(vecs, m = 8, ksub = 16, dim = 64).collect()
+    val n = vecs.count()
+    assert(enc.length == n * 8)
+    assert(enc.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+    // every vector has exactly one code per subspace
+    assert(enc.map(r => (r.getLong(0), r.getInt(1))).distinct.length == enc.length)
+  }
+
+  test("pqTopK matches an independent in-memory ADC reference") {
+    val q = vecs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.pqTopK(vecs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+    // reference: plain Scala replay of codebook sampling, encoding and ADC
+    val data = vecs.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val ids = data.keys.toSeq.sorted
+    val books = (0 until 8).map(s => ids.take(16).map(id =>
+      data(id).slice(s * 8, (s + 1) * 8)))
+    def codeOf(v: Array[Double], s: Int): Int =
+      books(s).zipWithIndex.map { case (c, j) =>
+        val sub = v.slice(s * 8, (s + 1) * 8)
+        (sub.zip(c).map { case (a, b) => a * b }.sum * 2.0 - c.map(x => x * x).sum, j)
+      }.maxBy { case (sc, j) => (sc, -j) }._2
+    def adc(qv: Array[Double], id: Long): Long = (0 until 8).map { s =>
+      val c = books(s)(codeOf(data(id), s))
+      val qs = qv.slice(s * 8, (s + 1) * 8)
+      math.floor((qs.zip(c).map { case (a, b) => a * b }.sum * 2.0
+        - c.map(x => x * x).sum) * 1e6).toLong
+    }.sum
+    (0L until 3L).foreach { qid =>
+      val want = ids.filter(_ != qid).map(id => id -> adc(data(qid), id))
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      want.zipWithIndex.foreach { case ((id, s), i) =>
+        assert(got((qid, i + 1)) == ((id, s)), s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("pqTopK recall vs exact brute force stays above the pinned floor") {
+    val q = vecs.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteTopK(vecs, q, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val pq = Similarity.pqTopK(vecs, q, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = exact.keys.toSeq.map(k =>
+      (pq.getOrElse(k, Set.empty) intersect exact(k)).size / 10.0).sum / exact.size
+    info(f"PQ (m=8, ksub=16) recall@10 vs exact cosine: $recall%.3f")
+    // PQ ranks by compressed L2 while the baseline ranks by exact cosine —
+    // on the near-uniform fixture the floor is deliberately modest; the
+    // cross-engine gate (pq_topk oracle) pins exact agreement, this pins
+    // that compression keeps signal at all
+    assert(recall >= 0.15, s"PQ recall collapsed: $recall")
+  }
+}

@@ -576,6 +576,10 @@ object QueryCatalog {
     // table the first BPE merge is chosen from)
     "bpe_pair_counts" -> ((s, dir) => TextOps.bpePairCounts(docs(s, dir), k = 50)),
 
+    // true merge INDUCTION (not just first-round stats): 12 rounds of
+    // count → argmax → rewrite over the word-frequency table
+    "bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), nMerges = 12)),
+
     // BPE tokenizer APPLICATION: encode every doc with the top-30 merges
     // table induced from the pair statistics (k-row-bounded collect); the
     // oracle replays the same merges in rank order via a recursive CTE
@@ -1173,6 +1177,35 @@ object QueryCatalog {
        |  FROM rec JOIN m ON m.r = rec.r + 1),
        |fin AS (SELECT doc_id, rep FROM rec WHERE r = (SELECT max(r) FROM m))""".stripMargin
 
+  /** Unrolled SQL replay of [[graft.operators.TextOps.bpeTrain]]: `n`
+    * chained (pair-count → argmax → rewrite) CTE rounds over the
+    * word-frequency table in the same bracketed-symbol string form as
+    * [[bpeRecSql]] — an independent re-derivation of the induction, not a
+    * dump of its output. Non-recursive on purpose: each round needs a
+    * global aggregate, which recursive CTEs disallow. */
+  private def bpeTrainSql(n: Int): String = {
+    val init =
+      """w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |r0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS rep, f FROM w0)""".stripMargin
+    val rounds = (1 to n).map { i =>
+      s"""p$i AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(sum(f) AS BIGINT) AS n
+         | FROM (SELECT syms, f, unnest(range(1, len(syms))) AS i
+         |   FROM (SELECT string_split(substring(rep, 2, len(rep) - 2),
+         |     chr(2) || chr(1)) AS syms, f FROM r${i - 1}))
+         | GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |r$i AS (SELECT replace(rep, chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+         |    chr(1) || b.lhs || b.rhs || chr(2)) AS rep, f
+         |  FROM r${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }
+    val out = (1 to n)
+      .map(i => s"SELECT $i AS rank, lhs, rhs, n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${(init +: rounds).mkString(",\n")}\n$out"
+  }
+
   lazy val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -1418,6 +1451,8 @@ object QueryCatalog {
          |    PARTITION BY qid ORDER BY score_u DESC, doc_id) AS INT) AS rank
          |  FROM agg) WHERE rank <= 10""".stripMargin
     },
+
+    "bpe_train" -> bpeTrainSql(12),
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

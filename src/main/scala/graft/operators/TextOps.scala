@@ -441,6 +441,77 @@ object TextOps {
       .limit(k)
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016 merge induction): learn
+    * the ordered merges table itself — each round counts adjacent symbol
+    * pairs across the corpus, merges the most frequent (ties: lexicographic
+    * (lhs, rhs)), rewrites, repeats. Unlike [[bpePairCounts]] (first-round
+    * statistics only), later rounds count pairs involving PRODUCTS of
+    * earlier merges — real induction.
+    *
+    * Scale shape — the standard distributed tokenizer-trainer layout
+    * (HF tokenizers / SentencePiece do the same single-node): the working
+    * state is the WORD-FREQUENCY table, not the corpus — one corpus scan
+    * builds (word, freq), and every round after that is a flatMap over the
+    * vocabulary-sized table plus a pair-alphabet-bounded map-side-combined
+    * aggregation and a single-row argmax collect. Per-round cost is
+    * independent of corpus size; lineage is truncated each round with an
+    * eager localCheckpoint (the CC-loop discipline).
+    *
+    * Rewrite rule: left-to-right non-overlapping within each word, and a
+    * symbol minted this round never re-matches this round — exactly the
+    * bracketed-string `replace` the DuckDB oracle replays.
+    * Output: (rank, lhs, rhs, n) — n is the pair's count at merge time. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def mergeLtr(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        // code points, not UTF-16 units (see bpePairCounts)
+        val cps = w.codePoints().toArray
+        (cps.map(cp => new String(Character.toChars(cp))).toSeq, f)
+      }
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = words.flatMap { case (syms, f) =>
+        (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+      }.toDF("lhs", "rhs", "f")
+        .groupBy("lhs", "rhs").agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val next = words.map { case (syms, f) => (mergeLtr(syms, l, r), f) }
+          .localCheckpoint(true)
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "lhs", "rhs", "n")
+  }
+
   /** BPE tokenizer APPLICATION: encode every document into subword tokens
     * with a fixed ordered merges table — the step between tokenizer
     * induction ([[bpePairCounts]]) and sequence packing that turns text

@@ -580,6 +580,12 @@ object QueryCatalog {
     // count → argmax → rewrite over the word-frequency table
     "bpe_train" -> ((s, dir) => TextOps.bpeTrain(docs(s, dir), nMerges = 12)),
 
+    // token-budget mixture: ≈800 tokens from src0, 600 from src1, 1000 from
+    // every other source, by salted-hash bucket prefix (append-stable)
+    "token_budget_mix" -> ((s, dir) =>
+      TextOps.tokenBudgetMix(docs(s, dir),
+        budgets = Map("src0" -> 800L, "src1" -> 600L), defaultBudget = 1000L)),
+
     // BPE tokenizer APPLICATION: encode every doc with the top-30 merges
     // table induced from the pair statistics (k-row-bounded collect); the
     // oracle replays the same merges in rank order via a recursive CTE
@@ -1453,6 +1459,25 @@ object QueryCatalog {
     },
 
     "bpe_train" -> bpeTrainSql(12),
+
+    "token_budget_mix" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ${h60sql("doc_id::VARCHAR || ':mix'")} % 4096 AS bucket
+         | FROM documents),
+         |mass AS (SELECT source, bucket, CAST(sum(n_tokens) AS BIGINT) AS btoks
+         | FROM base GROUP BY 1, 2),
+         |cum AS (SELECT source, bucket, sum(btoks) OVER (
+         |   PARTITION BY source ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM mass),
+         |cut AS (SELECT source, coalesce(
+         |   min(CASE WHEN cum >= (CASE source WHEN 'src0' THEN 800
+         |     WHEN 'src1' THEN 600 ELSE 1000 END) THEN bucket END),
+         |   max(bucket)) AS cut
+         | FROM cum GROUP BY 1)
+         |SELECT b.doc_id, b.source, b.bucket, b.n_tokens
+         |FROM base b JOIN cut c ON b.source = c.source
+         |WHERE b.bucket <= c.cut""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

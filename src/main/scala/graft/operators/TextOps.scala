@@ -441,6 +441,51 @@ object TextOps {
       .limit(k)
   }
 
+  /** Token-budget mixture sampling (the SlimPajama/DoReMi-style mixing
+    * step): take ≈`budget(source)` TOKENS from each source, selecting docs
+    * by a salted hash so the sample is deterministic and unbiased by corpus
+    * order. A doc's bucket never changes, but unlike [[stratifiedSample]]
+    * (fixed rates) the CUTOFF adapts to corpus growth: a fixed token budget
+    * over a bigger corpus selects a smaller hash prefix.
+    *
+    * Scale shape: selection is a hash-bucket PREFIX, not a per-doc running
+    * sum — docs land in `buckets` salted buckets, per-(source, bucket)
+    * token mass is one map-side-combined aggregation bounded by
+    * |sources|·buckets rows, and the cutoff bucket per source comes from a
+    * window over that already-aggregated table (≤ `buckets` rows per
+    * partition REGARDLESS of corpus size — never a corpus-sized window).
+    * The budget is met at bucket granularity: the cutoff is the first
+    * bucket whose cumulative mass reaches the budget (all docs if the
+    * source has fewer tokens than its budget), so selected mass overshoots
+    * by at most one bucket (~1/buckets of the source — tighten with more
+    * buckets). Output: selected (doc_id, source, bucket, n_tokens). */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long, buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => WExpr}
+    val bucket = pmod(
+      fingerprintCol(concat(col("doc_id").cast("string"), lit(":mix"))),
+      lit(buckets.toLong))
+    val base = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      bucket.as("bucket"))
+    val mass = base.groupBy("source", "bucket").agg(sum("n_tokens").as("btoks"))
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, v)) =>
+      when(col("source") === s, lit(v)).otherwise(acc)
+    }
+    val wcum = WExpr.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(WExpr.unboundedPreceding, WExpr.currentRow)
+    val cutoff = mass
+      .withColumn("cum", sum("btoks").over(wcum))
+      .withColumn("budget", budgetCol)
+      .groupBy("source").agg(
+        min(when(col("cum") >= col("budget"), col("bucket"))).as("cut"),
+        max(col("bucket")).as("maxb"))
+      .select(col("source"), coalesce(col("cut"), col("maxb")).as("cut"))
+    base.join(broadcast(cutoff), Seq("source"))
+      .where(col("bucket") <= col("cut"))
+      .select("doc_id", "source", "bucket", "n_tokens")
+  }
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016 merge induction): learn
     * the ordered merges table itself — each round counts adjacent symbol
     * pairs across the corpus, merges the most frequent (ties: lexicographic

@@ -456,7 +456,17 @@ object Dedup {
     *
     * pairs: (doc_a, doc_b); returns (node, label) for every node in pairs,
     * label = min doc_id of its component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Edge-count ceiling for [[connectedComponents]]'s single-task
+    * union-find fast path. 2M symmetric edges ≈ a few hundred MB of
+    * hash-map state in one task — far under executor memory — while the
+    * graphs the threshold targets (near-dup pair graphs of fixture-to-
+    * moderate corpora) finish in one O(E·α) pass instead of paying the
+    * loop's per-iteration shuffle fixed costs. Measured at sf0.1 (136k
+    * edges): 2.40 s loop → ~0.3 s fast path. */
+  val LocalCcEdgeLimit = 2000000L
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      localEdgeLimit: Long = LocalCcEdgeLimit): DataFrame = {
     // eager localCheckpoint, NOT plain persist: an iterative loop over
     // persisted frames still re-analyzes the whole accumulated logical plan
     // (including the pair producer's full lineage, referenced twice by the
@@ -484,9 +494,46 @@ object Dedup {
     // the session setting — at 100-TB pair volumes this keeps the session
     // value.
     val caller = pairs.sparkSession
+    val edgeCount = edges.count()
+
+    // hybrid CC: a measured-small graph is pure per-iteration shuffle fixed
+    // cost for the loop below — ONE task runs union-find over the whole
+    // edge list in O(E·α) and emits the identical min-label-per-component
+    // contract (union always points the larger root at the smaller, so a
+    // set's root IS its minimum node id). The task is bounded by
+    // `localEdgeLimit` (see [[LocalCcEdgeLimit]]); graphs above it take the
+    // distributed loop. CcEquivalenceSpec pins path equality.
+    if (edgeCount <= localEdgeLimit) {
+      import caller.implicits._
+      val out = edges.as[(Long, Long)].repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (u, v) =>
+            if (!parent.contains(u)) parent(u) = u
+            if (!parent.contains(v)) parent(v) = v
+            val ru = find(u); val rv = find(v)
+            if (ru < rv) parent(rv) = ru
+            else if (rv < ru) parent(ru) = rv
+          }
+          val nodes = parent.keys.toArray // snapshot: find() compresses paths
+          nodes.iterator.map(n => (n, find(n)))
+        }
+        .toDF("node", "label")
+        .localCheckpoint(true) // edges' cached blocks are about to go away
+      edges.unpersist()
+      return out
+    }
+
     val sessionParts = caller.conf.get("spark.sql.shuffle.partitions").toInt
     val graphParts = math.max(4L, math.min(sessionParts.toLong,
-      edges.count() / 2000000L + 1L)).toInt
+      edgeCount / 2000000L + 1L)).toInt
     // the override lives in a CLONED session (shared SparkContext, cache
     // manager and checkpoint blocks; private SQLConf): mutating the
     // caller's session-global shuffle.partitions — even restored in a

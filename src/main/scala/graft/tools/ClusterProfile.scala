@@ -29,6 +29,13 @@ object ClusterProfile {
     }
     time("pairs_only")(graft.QueryCatalog.queries("dedup_simhash_pairs")(spark, sfDir).count())
     time("clusters_full")(graft.QueryCatalog.queries("dedup_clusters")(spark, sfDir).count())
+    // CC loop alone over PRE-MATERIALIZED pairs (parquet round-trip) —
+    // isolates the iteration fixed cost from the LSH pipeline
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccprof").toString
+    graft.QueryCatalog.queries("dedup_simhash_pairs")(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$tmp/pairs")
+    val pairsOnDisk = spark.read.parquet(s"$tmp/pairs")
+    time("cc_only")(graft.operators.Dedup.connectedComponents(pairsOnDisk).count())
     spark.stop()
   }
 }

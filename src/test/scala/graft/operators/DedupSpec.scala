@@ -79,7 +79,10 @@ class DedupSpec extends AnyFunSuite {
     // a path graph is the worst case for plain neighbor-min propagation
     // (diameter = n); pointer jumping must close it well inside maxIter
     val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain, maxIter = 25).collect()
+    // localEdgeLimit = 0 forces the DISTRIBUTED loop — the default would
+    // route a graph this small to the union-find fast path and stop
+    // exercising pointer jumping
+    val got = Dedup.connectedComponents(chain, maxIter = 25, localEdgeLimit = 0L).collect()
     assert(got.length == 2000)
     assert(got.forall(_.getLong(1) == 0L), "whole chain is one component rooted at 0")
   }

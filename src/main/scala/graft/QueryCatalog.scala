@@ -211,6 +211,10 @@ object QueryCatalog {
     // window + rollup, single exchange on user_id
     "sessionize" -> ((s, dir) => EventOps.sessionize(events(s, dir))),
 
+    // weekly retention matrix: cohort by first-activity week, count users
+    // active k weeks later — integer-exact epoch-week arithmetic
+    "retention_cohorts" -> ((s, dir) => EventOps.retentionCohorts(events(s, dir))),
+
     // ---- W1/W2: sliding-window grid + window→geometry ---------------------
     "tile_grid" -> ((s, _) => {
       import s.implicits._
@@ -1255,6 +1259,14 @@ object QueryCatalog {
         |SELECT user_id, sess_start, n_events FROM r
         |WHERE sess_last + INTERVAL 30 MINUTE <=
         |  (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS k,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,

@@ -39,4 +39,25 @@ object EventOps {
         min("event_id").as("first_event"),
         (max(epochUs) - min(epochUs)).as("duration_us"))
   }
+
+  /** Weekly retention cohorts: users are cohorted by the epoch-week of
+    * their FIRST event; n_users(cohort_week, k) counts how many of that
+    * cohort were active k weeks later — the standard product-analytics
+    * retention matrix.
+    *
+    * Scale shape: the corpus collapses to the distinct (user, week)
+    * activity table first (map-side-combined; ≤ users × weeks rows no
+    * matter how many raw events), cohorts are a user-keyed aggregate of
+    * it, and the join back is user-keyed over the already-small table.
+    * Weeks come from exact INTEGER division of microsecond epochs (`div`),
+    * so every output column is an integer and the cross-engine gate is
+    * exact — no date/timezone arithmetic in the plan. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val week = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+    val activity = events.select(col("user_id"), week.as("week")).distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("week").as("cohort_week"))
+    activity.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("k"))
+      .groupBy("cohort_week", "k").agg(count(lit(1)).as("n_users"))
+  }
 }

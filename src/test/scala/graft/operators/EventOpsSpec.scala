@@ -28,4 +28,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out((2L, 0L)) == ((1L, 20L, 0L)))
     assert(out.size == 3)
   }
+
+  test("retentionCohorts: planted matrix — cohorting by first week, k offsets, multi-event weeks count once") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday; epoch weeks split at Thursdays 00:00 UTC —
+    // the planted days below sit safely inside their weeks either way.
+    // user 1: weeks w, w+1, w+2 (three events in week w count ONCE)
+    // user 2: weeks w, w+2 (skips w+1)
+    // user 3: cohort w+1, active w+1 only
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), (2L, ts("2024-01-01 11:00:00"), 1L),
+      (3L, ts("2024-01-02 10:00:00"), 1L), (4L, ts("2024-01-08 10:00:00"), 1L),
+      (5L, ts("2024-01-15 10:00:00"), 1L),
+      (6L, ts("2024-01-01 10:00:00"), 2L), (7L, ts("2024-01-15 10:00:00"), 2L),
+      (8L, ts("2024-01-08 10:00:00"), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = EventOps.retentionCohorts(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = got.keys.map(_._1).min
+    assert(got == Map(
+      (w, 0L) -> 2L,     // users 1 and 2 in cohort w, week 0
+      (w, 1L) -> 1L,     // only user 1 active in w+1
+      (w, 2L) -> 2L,     // users 1 and 2 active in w+2
+      (w + 1, 0L) -> 1L  // user 3's own cohort
+    ))
+  }
 }

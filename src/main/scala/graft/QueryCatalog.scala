@@ -215,6 +215,11 @@ object QueryCatalog {
     // active k weeks later — integer-exact epoch-week arithmetic
     "retention_cohorts" -> ((s, dir) => EventOps.retentionCohorts(events(s, dir))),
 
+    // ordered conversion funnel signup→view→click→purchase (strictly
+    // increasing microsecond timestamps advance a user)
+    "funnel" -> ((s, dir) => EventOps.funnel(events(s, dir),
+      Seq("signup", "view", "click", "purchase"))),
+
     // ---- W1/W2: sliding-window grid + window→geometry ---------------------
     "tile_grid" -> ((s, _) => {
       import s.implicits._
@@ -1259,6 +1264,25 @@ object QueryCatalog {
         |SELECT user_id, sess_start, n_events FROM r
         |WHERE sess_last + INTERVAL 30 MINUTE <=
         |  (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin,
+
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.us) AS t FROM e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s3.t GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS step_type,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'click', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT)""".stripMargin,
 
     "retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id,

@@ -60,4 +60,46 @@ object EventOps {
       .select(col("cohort_week"), (col("week") - col("cohort_week")).as("k"))
       .groupBy("cohort_week", "k").agg(count(lit(1)).as("n_users"))
   }
+
+  /** Ordered funnel conversion: a user reaches step i when events of types
+    * steps(0..i) exist at STRICTLY increasing timestamps (the classic
+    * product funnel — a later-step event before the earlier step does not
+    * count). Returns one row per step: (step, step_type, n_users).
+    *
+    * Scale shape: step i is `min ts of step-i events AFTER the user's
+    * step-(i−1) time` — each stage filters the corpus to ONE event type
+    * before its user-keyed aggregate and joins the (users-reaching)-sized
+    * frame from the previous stage, so the chain's exchanges carry one
+    * step's events plus a user-id frame, never the whole log; the
+    * |steps|-long chain is driver-composed but every stage is fully
+    * distributed. Ties (same µs) break strictly: equal timestamps do NOT
+    * advance the funnel, keeping the rule engine-portable. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val typed = events.select(col("user_id"), col("event_type"), us.as("us"))
+    // persist each stage: its count is an action AND the next stage joins
+    // it — without the cache every stage would recompute the whole prefix
+    // chain (k scans of the log by stage k)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var reached = typed.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    cached += reached
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
+      (1, steps.head, reached.count()))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = typed.where(col("event_type") === st)
+        .join(reached.select(col("user_id"), col("t").as("prev")), Seq("user_id"))
+        .where(col("us") > col("prev"))
+        .groupBy("user_id").agg(min("us").as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      cached += reached
+      counts += ((i + 1, st, reached.count()))
+    }
+    cached.foreach(_.unpersist()) // counts are materialized driver values
+    counts.toSeq.toDF("step", "step_type", "n_users")
+  }
 }

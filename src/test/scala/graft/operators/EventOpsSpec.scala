@@ -55,4 +55,29 @@ class EventOpsSpec extends AnyFunSuite {
       (w + 1, 0L) -> 1L  // user 3's own cohort
     ))
   }
+
+  test("funnel: strict ordering — out-of-order and equal-timestamp events do not advance") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1 converts fully in order: A 10:00, B 11:00, C 12:00
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "B"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "C"),
+      // user 2: B BEFORE A — stalls at step 1 (A) despite having a B
+      (4L, ts("2024-01-01 09:00:00"), 2L, "B"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "A"),
+      // user 3: B at EXACTLY A's timestamp — strict > means no advance;
+      // the later B at 11:00 does advance, C never comes
+      (6L, ts("2024-01-01 10:00:00"), 3L, "A"),
+      (7L, ts("2024-01-01 10:00:00"), 3L, "B"),
+      (8L, ts("2024-01-01 11:00:00"), 3L, "B"),
+      // user 4: only C — never enters the funnel
+      (9L, ts("2024-01-01 08:00:00"), 4L, "C")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.funnel(df, Seq("A", "B", "C")).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1 -> ("A", 3L), 2 -> ("B", 2L), 3 -> ("C", 1L)))
+  }
 }

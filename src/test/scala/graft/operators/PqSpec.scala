@@ -55,6 +55,16 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: ADC scoring is a broadcast equi-join — no cartesian, no shuffle-side nested loop") {
+    val q = vecs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = Similarity.pqTopK(vecs, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"), "the lut join should broadcast")
+  }
+
   test("pqTopK recall vs exact brute force stays above the pinned floor") {
     val q = vecs.where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

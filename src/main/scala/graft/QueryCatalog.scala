@@ -595,6 +595,9 @@ object QueryCatalog {
       TextOps.tokenBudgetMix(docs(s, dir),
         budgets = Map("src0" -> 800L, "src1" -> 600L), defaultBudget = 1000L)),
 
+    // per-doc novelty: distinct trigrams + how many exist in no other doc
+    "ngram_novelty" -> ((s, dir) => TextOps.ngramNovelty(docs(s, dir), n = 3)),
+
     // BPE tokenizer APPLICATION: encode every doc with the top-30 merges
     // table induced from the pair statistics (k-row-bounded collect); the
     // oracle replays the same merges in rank order via a recursive CTE
@@ -1495,6 +1498,17 @@ object QueryCatalog {
     },
 
     "bpe_train" -> bpeTrainSql(12),
+
+    "ngram_novelty" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |tg AS (SELECT DISTINCT doc_id, ${h60sql("tg")} AS h FROM (
+         |  SELECT doc_id, unnest(list_filter(list_transform(
+         |    list_zip(l, l[2:], l[3:]), s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+         |    x -> x IS NOT NULL)) AS tg FROM d)),
+         |f AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tg GROUP BY 1)
+         |SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |FROM tg JOIN f ON tg.h = f.h GROUP BY 1""".stripMargin,
 
     "token_budget_mix" ->
       s"""WITH base AS (SELECT doc_id, source,

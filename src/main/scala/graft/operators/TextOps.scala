@@ -441,6 +441,42 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-document n-gram novelty: how much of a doc's content exists
+    * nowhere else in the corpus — n_grams = the doc's DISTINCT token
+    * n-grams, n_unique = those appearing in no other document (global
+    * document frequency 1). High-novelty docs carry information the rest
+    * of the corpus lacks; low novelty flags templated/boilerplate content
+    * the dedup family might miss below its thresholds.
+    *
+    * Scale shape: the corpus becomes (doc_id, h60) rows — per-doc distinct
+    * INSIDE the flatMap (the substringDedup contract), so the exchange
+    * carries 16-byte hash rows, never n-gram strings (the gopher-bigram
+    * lesson); df is a map-side-combined count over the same persisted
+    * frame, and the join back is co-partitioned on the hash. Docs with
+    * fewer than n tokens emit nothing and are absent from the output (the
+    * oracle mirrors this). */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rows = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+        if (t.length < n) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          var i = 0
+          while (i <= t.length - n) {
+            seen += h60Jvm(t.slice(i, i + n).mkString(" ")); i += 1
+          }
+          seen.iterator.map(h => (id, h))
+        }
+      }.toDF("doc_id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dfreq = rows.groupBy("h").agg(count(lit(1)).as("df"))
+    rows.join(dfreq, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+  }
+
   /** Token-budget mixture sampling (the SlimPajama/DoReMi-style mixing
     * step): take ≈`budget(source)` TOKENS from each source, selecting docs
     * by a salted hash so the sample is deterministic and unbiased by corpus

@@ -178,4 +178,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(prefix < charTokens && prefix > 0)
     spark.catalog.clearCache()
   }
+
+  test("ngramNovelty: duplicates share everything, unique docs own everything, overlaps hand-counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),   // trigrams: abc bcd cde
+      (1L, "a b c d e"),   // exact duplicate of 0 — zero novelty both
+      (2L, "x y z w"),     // xyz yzw — fully unique
+      (3L, "c d e f g"),   // cde def efg — shares cde with docs 0/1
+      (4L, "p q")          // too short: absent from the output
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      0L -> ((3L, 0L)), 1L -> ((3L, 0L)),  // all three trigrams shared
+      2L -> ((2L, 2L)),                    // both unique
+      3L -> ((3L, 2L))))                   // cde seen elsewhere, def/efg not
+    spark.catalog.clearCache()
+  }
 }

@@ -157,28 +157,69 @@ object Similarity {
     (0 until m).map(s => samples.map(v => v.slice(s * dsub, (s + 1) * dsub)))
   }
 
+  /** Subspace-s code assignment column for the given PQ codebooks:
+    * argmin ||x_s−c||² ⟺ argmax (2·x_s·c − |c|²) since |x_s|² is constant
+    * per row — one dot per centroid, the same single-evaluation struct-max
+    * as [[ivfBucket]] (tie → lowest code). */
+  private def pqCodeCol(books: Seq[Seq[Seq[Double]]], s: Int, dsub: Int): Column = {
+    val sub = slice(col("embedding"), s * dsub + 1, dsub)
+    val scored = array(books(s).zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (graft.functions.VectorOps.dot(sub, array(c.map(lit(_)): _*)) * lit(2.0)
+          - lit(c2)).as("v"),
+        lit(-j).as("nj"))
+    }: _*)
+    (-array_max(scored).getField("nj")).cast("int")
+  }
+
+  /** Per-subspace Lloyd refinement of PQ codebooks — m independent k-means
+    * fused into ONE pass per round: every vector emits its m (sub, code,
+    * subvector) assignments in a single codegen scan, and the component
+    * means aggregate map-side to ≤ m·ksub·dsub rows (1024 doubles at the
+    * defaults) before the collect. Codes that receive no vectors keep
+    * their centroid. Measured reality check (PqSpec, planted worst case —
+    * every sampled centroid from one cluster): PQ's CLUSTER-level
+    * retrieval is already robust to the collapsed codebook (precision@10
+    * = 1.0 with or without refinement — inter-cluster distances dwarf
+    * quantization error), while within-cluster noise-neighbors stay
+    * unrankable at small ksub regardless of rounds; refinement is the
+    * right tool only when sub-cluster structure EXISTS at the codebook's
+    * resolution. Catalog queries stay at rounds 0. */
+  def pqRefine(vectors: DataFrame, books: Seq[Seq[Seq[Double]]],
+               rounds: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val m = books.size
+    val dsub = dim / m
+    var cur = books
+    for (_ <- 0 until rounds) {
+      val entries = (0 until m).map { s =>
+        struct(lit(s).as("sub"), pqCodeCol(cur, s, dsub).as("code"),
+          slice(col("embedding"), s * dsub + 1, dsub).cast("array<double>").as("sv"))
+      }
+      val means = vectors
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.sub"), col("e.code"), posexplode(col("e.sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "code", "pos").agg(avg("v").as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rs) => k -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      cur = (0 until m).map(s => cur(s).indices.map(j =>
+        means.getOrElse((s, j), cur(s)(j))))
+    }
+    cur
+  }
+
   /** PQ encode: each vector compresses to m small codes — code s is the
     * argmin-L2 centroid of subspace s (64 floats → 8 bytes at m=8/ksub=16,
     * the memory trade that lets a 100-TB embedding column fit a RAM-resident
-    * ANN index). argmin ||x−c||² ⟺ argmax (2·x·c − |c|²) since |x|² is
-    * constant per row — one dot per centroid, the same single-evaluation
-    * struct-max as [[ivfBucket]] (tie → lowest code). Zero shuffle: one
-    * codegen scan emitting (vec_id, sub, code) rows. */
+    * ANN index). Zero shuffle: one codegen scan emitting (vec_id, sub,
+    * code) rows. `lloydRounds` refines the sampled codebooks per subspace
+    * ([[pqRefine]]) — leave 0 for near-uniform data. */
   def pqEncode(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
-               dim: Int = 64): DataFrame = {
-    val books = pqCodebooks(vectors, m, ksub, dim)
+               dim: Int = 64, lloydRounds: Int = 0): DataFrame = {
+    val books = pqRefine(vectors, pqCodebooks(vectors, m, ksub, dim), lloydRounds, dim)
     val dsub = dim / m
-    val codeCols = (0 until m).map { s =>
-      val sub = slice(col("embedding"), s * dsub + 1, dsub)
-      val scored = array(books(s).zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => x * x).sum
-        struct(
-          (graft.functions.VectorOps.dot(sub, array(c.map(lit(_)): _*)) * lit(2.0)
-            - lit(c2)).as("v"),
-          lit(-j).as("nj"))
-      }: _*)
-      (-array_max(scored).getField("nj")).cast("int")
-    }
+    val codeCols = (0 until m).map(s => pqCodeCol(books, s, dsub))
     vectors.select(col("vec_id"),
         posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
@@ -196,10 +237,17 @@ object Similarity {
     * (qid, rank, vec_id, score_u) — approximate by construction; quality is
     * pinned against [[bruteTopK]] and an in-memory ADC reference in PqSpec. */
   def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
-    val books = pqCodebooks(vectors, m, ksub, dim)
+             m: Int = 8, ksub: Int = 16, dim: Int = 64,
+             lloydRounds: Int = 0): DataFrame = {
+    // refine ONCE and share: encode and lut must quantize against the same
+    // codebooks (a per-call refine would let float-mean nondeterminism
+    // hand them subtly different ones)
+    val books = pqRefine(vectors, pqCodebooks(vectors, m, ksub, dim), lloydRounds, dim)
     val dsub = dim / m
-    val encoded = pqEncode(vectors, m, ksub, dim)
+    val encoded = vectors.select(col("vec_id"),
+        posexplode(array((0 until m).map(s => pqCodeCol(books, s, dsub)): _*))
+          .as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
     val lutEntries = (0 until m).flatMap { s =>
       val qsub = slice(col("qvec"), s * dsub + 1, dsub)
       books(s).zipWithIndex.map { case (c, j) =>

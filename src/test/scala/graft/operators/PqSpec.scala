@@ -65,6 +65,64 @@ class PqSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "the lut join should broadcast")
   }
 
+  test("clustered corpus, worst-case codebook: PQ recall measured (codebooks from cluster 0 only)") {
+    import spark.implicits._
+    // same planted fixture as EmbeddingRecallSpec: 8 Gaussian clusters,
+    // rows ordered by cluster, so the first-16-ids codebook sample sees
+    // ONLY cluster 0 — every subspace codebook describes one cluster's
+    // subvectors and the other seven quantize badly
+    val rng = new scala.util.Random(101)
+    val dim = 64; val nClusters = 8; val per = 250
+    val centers = Array.fill(nClusters, dim)(rng.nextGaussian())
+    val rows = for (c <- 0 until nClusters; j <- 0 until per) yield {
+      val emb = Array.tabulate(dim)(d =>
+        (centers(c)(d) + 0.35 * rng.nextGaussian()).toFloat)
+      ((c * per + j).toLong, emb)
+    }
+    val v = rows.toDF("vec_id", "embedding")
+    val q = v.where(col("vec_id") % per === 37)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // ground truth = exact L2 top-10, NOT cosine: ADC approximates
+    // −||q−x̂||², so L2 is the apples-to-apples target (on un-normalized
+    // vectors the two rankings differ even without quantization)
+    val data = rows.map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    val qids = data.keys.filter(_ % per == 37).toSeq.sorted
+    val exact = qids.map { qid =>
+      val qv = data(qid)
+      qid -> data.keys.filter(_ != qid).map { id =>
+        val d = data(id).zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, id)
+      }.toSeq.sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+    def measure(lloydRounds: Int): (Double, Double) = {
+      val pq = Similarity.pqTopK(v, q, 10, lloydRounds = lloydRounds)
+        .collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val recall = qids.map(k =>
+        (pq.getOrElse(k, Set.empty) intersect exact(k)).size / 10.0).sum / qids.size
+      val clusterPrec = qids.map { k =>
+        pq.getOrElse(k, Set.empty).count(_ / per == k / per) / 10.0
+      }.sum / qids.size
+      (recall, clusterPrec)
+    }
+    val (r0, c0) = measure(0); val (r1, c1) = measure(1); val (r3, c3) = measure(3)
+    info(f"PQ@ksub=16 on clustered data — recall@10 / cluster-precision@10: collapsed $r0%.3f/$c0%.3f, 1 Lloyd $r1%.3f/$c1%.3f, 3 Lloyd $r3%.3f/$c3%.3f")
+    // The measured story (recorded on purpose, like the IVF-on-uniform
+    // negative result), and it has two sides:
+    //  - cluster-level retrieval is ROBUST: precision@10 reads 1.000 even
+    //    with the fully-collapsed codebook (inter-cluster distances dwarf
+    //    quantization error, so residual ADC scores still separate
+    //    clusters) — and refinement therefore has nothing to lift here;
+    //  - within-cluster ranking is UNRANKABLE at small ksub: this
+    //    fixture's cluster-mates differ only by noise, so fine recall sits
+    //    near k/cluster_size (0.04) for ANY codebook (collapsed, 1 or 3
+    //    Lloyd rounds, even ksub=64 measured 0.138). Production PQ buys
+    //    that resolution with ksub=256 + residual/OPQ encodings.
+    assert(c0 >= 0.95 && c3 >= 0.95,
+      s"PQ must retrieve from the right cluster regardless of codebook: $c0 / $c3")
+    assert(r0 >= 0.03 && r3 >= 0.03, s"fine recall below the noise floor: $r0 / $r3")
+  }
+
   test("pqTopK recall vs exact brute force stays above the pinned floor") {
     val q = vecs.where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

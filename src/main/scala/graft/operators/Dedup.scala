@@ -505,6 +505,11 @@ object Dedup {
     // distributed loop. CcEquivalenceSpec pins path equality.
     if (edgeCount <= localEdgeLimit) {
       import caller.implicits._
+      // the union-find runs on Longs; cast the output back to the INPUT id
+      // dtype so both CC paths emit an identical schema (the distributed
+      // loop preserves the input type — a caller passing int ids must not
+      // get a path-dependent LongType here)
+      val idType = pairs.schema(pairs.schema.fieldIndex("doc_a")).dataType
       val out = edges.as[(Long, Long)].repartition(1)
         .mapPartitions { it =>
           val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -526,6 +531,8 @@ object Dedup {
           nodes.iterator.map(n => (n, find(n)))
         }
         .toDF("node", "label")
+        .select(col("node").cast(idType).as("node"),
+          col("label").cast(idType).as("label"))
         .localCheckpoint(true) // edges' cached blocks are about to go away
       edges.unpersist()
       return out
@@ -712,7 +719,13 @@ object Dedup {
     * deterministic and identical to a plain anti-join (pinned by
     * DedupSpec) — the Bloom stage is pure shuffle avoidance. Fingerprints
     * are the engine-portable 60-bit md5; only (doc_id, fp) ever shuffles.
-    * Output: surviving new docs as (doc_id, fp). */
+    * Output: surviving new docs as (doc_id, fp).
+    *
+    * Cache contract: the prior-fingerprint frame is persisted (count,
+    * Bloom build, and exact verify all read it) and the returned plan
+    * depends on it — callers release it with `spark.catalog.clearCache()`
+    * (or their own unpersist) after the terminal action; same contract as
+    * [[graft.operators.Search.bm25TopK]] / [[TextOps.ngramNovelty]]. */
   def crossCorpus(newDocs: DataFrame, prior: DataFrame,
       fpp: Double = 0.01, bloom: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession

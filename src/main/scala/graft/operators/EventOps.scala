@@ -49,11 +49,17 @@ object EventOps {
     * activity table first (map-side-combined; ≤ users × weeks rows no
     * matter how many raw events), cohorts are a user-keyed aggregate of
     * it, and the join back is user-keyed over the already-small table.
-    * Weeks come from exact INTEGER division of microsecond epochs (`div`),
-    * so every output column is an integer and the cross-engine gate is
-    * exact — no date/timezone arithmetic in the plan. */
+    * Weeks come from exact integer FLOOR division of microsecond epochs —
+    * Spark's `div` truncates toward zero while the oracle's DuckDB `//`
+    * floors, and the two diverge on pre-1970 timestamps, so the negative-
+    * remainder case is corrected explicitly; every output column is an
+    * integer and the cross-engine gate is exact — no date/timezone
+    * arithmetic in the plan. */
   def retentionCohorts(events: DataFrame): DataFrame = {
-    val week = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+    val week = expr(
+      "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000" +
+        " - (CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) % 604800000000 < 0" +
+        " THEN 1 ELSE 0 END)")
     val activity = events.select(col("user_id"), week.as("week")).distinct()
     val cohorts = activity.groupBy("user_id").agg(min("week").as("cohort_week"))
     activity.join(cohorts, Seq("user_id"))
@@ -66,23 +72,76 @@ object EventOps {
     * product funnel — a later-step event before the earlier step does not
     * count). Returns one row per step: (step, step_type, n_users).
     *
-    * Scale shape: step i is `min ts of step-i events AFTER the user's
-    * step-(i−1) time` — each stage filters the corpus to ONE event type
-    * before its user-keyed aggregate and joins the (users-reaching)-sized
-    * frame from the previous stage, so the chain's exchanges carry one
-    * step's events plus a user-id frame, never the whole log; the
-    * |steps|-long chain is driver-composed but every stage is fully
-    * distributed. Ties (same µs) break strictly: equal timestamps do NOT
-    * advance the funnel, keeping the rule engine-portable. */
+    * Scale shape — SINGLE-PASS: the log is scanned ONCE (column-pruned,
+    * with the `event_type IN steps` filter pushed to the scan), each
+    * user's funnel events gather into one sorted list, and every step's
+    * reach time falls out of one left-to-right fold over that list — k
+    * steps cost one user-keyed exchange, not k filtered scans plus a
+    * stage-join chain (the round-6 form; kept verbatim as the oracle's
+    * CTE chain). The fold is order-insensitive among equal-µs ties
+    * because advancement compares VALUES strictly (`us > t[i−1]`): an
+    * equal timestamp can never advance regardless of processing order, so
+    * the rule stays engine-portable. The per-user list is the operator's
+    * irreducible sequential unit (the same unit sessionize's window
+    * holds); parallelism is the user-key space.
+    *
+    * Equivalence to the stage-chain: t_i = min us of step-i events with
+    * us > t_{i−1}. Ascending processing means the FIRST qualifying event
+    * sets t_i, and any step-i event earlier in the sort than the step-
+    * (i−1) event that sets t_{i−1} necessarily has us ≤ t_{i−1} (equal-us
+    * ties sort lower step first) and correctly fails the strict test.
+    * EventOpsSpec fuzz-pins fold == chain. */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val sidx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
+      when(col("event_type") === st, lit(i)).otherwise(acc)
+    }
+    val evs = events
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), struct(us.as("us"), sidx.as("sidx")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    // the fold: t[i] is set by the first event of step i whose us strictly
+    // exceeds t[i−1] (element_at is 1-based, so element_at(acc, i) IS the
+    // 0-based i−1 slot)
+    val times = aggregate(
+      col("evs"),
+      array_repeat(lit(null).cast("long"), k),
+      (acc, e) => transform(acc, (t, i) => {
+        // CaseWhen branches evaluate lazily, so element_at never sees the
+        // illegal index 0 (it is only reached on the i > 0 branch)
+        val prevOk = when(i === 0, lit(true)).otherwise(
+          element_at(acc, i).isNotNull && e.getField("us") > element_at(acc, i))
+        when(i === e.getField("sidx") && t.isNull && prevOk,
+          e.getField("us")).otherwise(t)
+      }))
+    val counts = evs.select(posexplode(times).as(Seq("pos", "t")))
+      .where(col("t").isNotNull)
+      .groupBy("pos").agg(count(lit(1)).as("n_users"))
+    val stepsDf = steps.zipWithIndex.map { case (st, i) => (i, i + 1, st) }
+      .toDF("pos", "step", "step_type")
+    // broadcast the RIGHT side: a left-outer join can only build right,
+    // and counts is ≤ k rows by construction
+    stepsDf.join(broadcast(counts), Seq("pos"), "left")
+      .select(col("step"), col("step_type"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
+  /** The round-6 stage-chain funnel — k per-type filtered aggregates, each
+    * joined on the previous stage's reach frame. Kept as [[funnel]]'s
+    * independently-shaped equivalence twin (EventOpsSpec pins fold ==
+    * chain on fuzzed logs); the single-pass form is the production path. */
+  private[graft] def funnelStageChain(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
     val us = unix_micros(col("ts").cast("timestamp"))
     val typed = events.select(col("user_id"), col("event_type"), us.as("us"))
-    // persist each stage: its count is an action AND the next stage joins
-    // it — without the cache every stage would recompute the whole prefix
-    // chain (k scans of the log by stage k)
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reached = typed.where(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("us").as("t"))

@@ -454,7 +454,13 @@ object TextOps {
     * lesson); df is a map-side-combined count over the same persisted
     * frame, and the join back is co-partitioned on the hash. Docs with
     * fewer than n tokens emit nothing and are absent from the output (the
-    * oracle mirrors this). */
+    * oracle mirrors this).
+    *
+    * Cache contract: the hashed-gram frame is persisted (it feeds both the
+    * df aggregation and the join back) and the returned plan depends on
+    * it — callers release it with `spark.catalog.clearCache()` (or an
+    * unpersist of their own) after the terminal action, as [[Dedup.crossCorpus]]
+    * and [[graft.operators.Search.bm25TopK]] require for theirs. */
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
     import docs.sparkSession.implicits._
     val rows = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]

@@ -80,4 +80,35 @@ class EventOpsSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got == Map(1 -> ("A", 3L), 2 -> ("B", 2L), 3 -> ("C", 1L)))
   }
+
+  test("funnel: single-pass fold == stage-chain on fuzzed logs (equal-µs ties included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val types = Seq("A", "B", "C", "D", "E")
+    // coarse second-granularity timestamps in a narrow range force plenty
+    // of equal-timestamp ties — the case where fold processing order could
+    // in principle diverge from the chain's min-after rule
+    val rows = (1L to 400L).map { i =>
+      (i, new Timestamp(1700000000000L + rnd.nextInt(120) * 1000L),
+        (rnd.nextInt(30) + 1).toLong, types(rnd.nextInt(types.size)))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val steps = Seq("A", "B", "C", "D")
+    def toMapOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    val fold = toMapOf(EventOps.funnel(df, steps))
+    val chain = toMapOf(EventOps.funnelStageChain(df, steps))
+    assert(fold == chain, s"fold=$fold chain=$chain")
+    assert(fold.size == steps.size)
+  }
+
+  test("funnel: a step no user reaches still emits its zero row") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "A"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.funnel(df, Seq("A", "B")).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1 -> ("A", 1L), 2 -> ("B", 0L)))
+  }
 }

@@ -139,6 +139,16 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$stringBytes B — the hash projection no longer narrows the exchange")
   }
 
+  test("funnel: single-pass — exactly ONE events scan, pushed type filter") {
+    val qe = QueryCatalog.queries("funnel")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    val scans = "FileScan|Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"funnel plans $scans file scans (want 1):\n${p.take(3000)}")
+    val formatted = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [In(event_type"),
+      "event_type IN filter not pushed to the events scan")
+  }
+
   test("q1_agg scan prunes to the aggregated columns only") {
     val p = QueryCatalog.queries("q1_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -355,6 +355,21 @@ object QueryCatalog {
       Similarity.cosinePairs(v, tau = 0.2, dim = 64)
         .select(col("vec_a"), col("vec_b"), fp6(col("cos")).as("cos_fp"))
     }),
+    // perceptual image near-dup dedup: REAL PNG decode → 60-bit dHash
+    // (11×6 nearest-sampled gray grid, horizontal gradient bits) → the
+    // generic quarter-split hamming pair machinery (Dedup.hammingPairs).
+    // Images are planted in groups of 5 byte-identical payloads whose
+    // last member carries a one-pixel edit (dHash distance ≤ 1); the
+    // oracle replays the dHash analytically from the synth pixel formula —
+    // the decode is real, so a broken codec path cannot match it.
+    "image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Multimodal.nearDupImagesFromDocs(s, docs(s, dir))
+        .mapPartitions(_.map(r => (r.doc_id, Multimodal.dHash60(r.payload))))
+        .toDF("id", "h")
+      Dedup.hammingPairs(hashes, maxHamming = 6)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+    }),
 
     // ---- similarity search -------------------------------------------------
     "ann_topk" -> ((s, dir) => {
@@ -1806,6 +1821,49 @@ object QueryCatalog {
          |WHERE i.n_common >= (na.n + nb.n - i.n_common) * 0.25""".stripMargin,
 
     "dedup_simhash_pairs" -> sqlSimhashPairs,
+
+    // analytic dHash replay: the engine DECODES real PNGs; the oracle
+    // re-derives every sampled gray value from the closed-form synth pixel
+    // formula (base id = doc_id − doc_id%5; the group's last member
+    // perturbs pixel (0,0)'s red by +128 mod 256, which can only reach
+    // grid point (0,0) = bit 0), then replays the same quarter-split +
+    // distinct-fingerprint cap + hamming-verify pipeline
+    "image_dedup" ->
+      s"""WITH d AS (SELECT doc_id, doc_id - doc_id % 5 AS b,
+         |  (doc_id % 5 = 4) AS pert FROM documents),
+         |dim AS (SELECT doc_id, b, pert,
+         |  16 + b % 17 AS w, 16 + (b * 7) % 13 AS h FROM d),
+         |g AS (SELECT doc_id, b, pert, w, h, gy.gy AS gy, gx.gx AS gx
+         | FROM dim, range(0, 6) gy(gy), range(0, 11) gx(gx)),
+         |px AS (SELECT doc_id, gy, gx, b, pert,
+         |  (gx * w) // 11 AS sx, (gy * h) // 6 AS sy FROM g),
+         |gray AS (SELECT doc_id, gy, gx,
+         |  (CASE WHEN pert AND sx = 0 AND sy = 0
+         |        THEN ((b * 31) % 256 + 128) % 256
+         |        ELSE (b * 31 + sy * 13 + sx * 7) % 256 END)
+         |  + (b * 31 + sy * 13 + sx * 7 + 11) % 256
+         |  + (b * 31 + sy * 13 + sx * 7 + 22) % 256 AS gr
+         | FROM px),
+         |bits AS (SELECT l.doc_id, l.gy * 10 + l.gx AS bit, (r.gr > l.gr) AS bset
+         | FROM gray l JOIN gray r
+         |  ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+         | WHERE l.gx < 10),
+         |hh AS (SELECT doc_id,
+         |  SUM(CASE WHEN bset THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS h
+         | FROM bits GROUP BY 1),
+         |blocks AS (SELECT doc_id, h, q.q AS q, (h >> (q.q * 15)) & 32767 AS qk
+         | FROM hh, range(0, 4) q(q)),
+         |hot AS (SELECT q, qk FROM (
+         |  SELECT q, qk, count(DISTINCT h) AS df FROM blocks GROUP BY 1, 2)
+         | WHERE df > ${Dedup.QuarterDfCap}),
+         |blk AS (SELECT b.doc_id, b.h, b.q, b.qk
+         | FROM blocks b ANTI JOIN hot t ON b.q = t.q AND b.qk = t.qk),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.h AS ha,
+         |  y.doc_id AS doc_b, y.h AS hb
+         | FROM blk x JOIN blk y
+         |  ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
 
     // connected components over the simhash near-dup pairs: transitive
     // closure by recursive CTE (every node collects all reachable labels,

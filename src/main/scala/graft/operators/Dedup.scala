@@ -702,6 +702,50 @@ object Dedup {
     } else pairsOn(docs)._1
   }
 
+  /** Banded Hamming near-dup pairs over PRECOMPUTED 60-bit fingerprints —
+    * the [[simhashPairs]] quarter-split machinery factored out for any
+    * fingerprint family (token simhash, perceptual image dHash
+    * [[Multimodal.dHash60]], audio fingerprints): block by the 4 15-bit
+    * quarters (Hamming ≤ 3 ⇒ some quarter equal, so recall is total
+    * there; 4..maxHamming pairs are found on the usual OR-of-bands LSH
+    * terms), drop quarter keys hotter than `quarterCap` DISTINCT
+    * fingerprints (a group of byte-identical payloads counts once, the
+    * exact-collapse accounting), and verify Hamming INSIDE the join stage
+    * before the cross-quarter distinct (the r6 simhash lesson — the
+    * exchange carries survivors only).
+    *
+    * Input: (id, h) with h in [0, 2^60); output (id_a, id_b, hamming),
+    * id_a < id_b. Scale shape: the only corpus-sized plan is the (q, qk)
+    * equi-join over the persisted quarter projection — never all-pairs;
+    * the hot-key cap guards degenerate corpora (e.g. a run of blank
+    * images all hashing to 0) exactly as the text-side caps do. */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
+                   quarterCap: Int = QuarterDfCap,
+                   hotKeyRowLimit: Long = HotKeyWindowRowLimit): DataFrame = {
+    // quarter projections read the hash frame 4×+2 join sides — persist;
+    // `th` = the fingerprint itself, so dropHotKeys' dense_rank counts
+    // DISTINCT fingerprints per quarter key
+    val sig = hashes.select(col("id"), col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val blocks = (0 until 4).map(q =>
+      sig.select(col("id"), col("h"), col("h").as("th"), lit(q).as("q"),
+        shiftright(col("h"), q * 15).bitwiseAND(lit(0x7fffL)).as("qk")))
+      .reduce(_ unionByName _)
+    // block rows = 4 × |hashes| exactly — free probe short-circuit
+    val blk = dropHotKeys(blocks, Seq("q", "qk"), quarterCap, hotKeyRowLimit,
+      () => if (hotKeyRowLimit == Long.MaxValue ||
+                4L * hashes.count() <= hotKeyRowLimit) 0L
+            else approxMaxKeyRows(blocks, Seq("q", "qk")))
+    blk.as("x").join(blk.as("y"),
+        col("x.q") === col("y.q") && col("x.qk") === col("y.qk") &&
+          col("x.id") < col("y.id"))
+      .withColumn("hamming",
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Cross-corpus (incremental) exact dedup: drop every new-crawl doc whose
     * content fingerprint already exists in a PRIOR corpus (the snapshot-
     * over-snapshot Common-Crawl pass — each monthly crawl is deduped

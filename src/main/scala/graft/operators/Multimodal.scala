@@ -42,15 +42,22 @@ object Multimodal {
     ((k * 31 + y * 13 + x * 7 + c * 11 + frame * 17) % 256).toInt
 
   /** Deterministic PNG bytes for doc k (ImageIO's PNG writer is
-    * deterministic for a given raster). */
-  def encodePng(k: Long, frame: Int = 0): Array[Byte] = {
+    * deterministic for a given raster). `perturbR00` flips the red channel
+    * of pixel (0, 0) by +128 (mod 256) — a one-pixel edit used to plant
+    * NEAR-duplicate images: it can move at most the one [[dHash60]] bit
+    * whose comparison involves grid point (0, 0). */
+  def encodePng(k: Long, frame: Int = 0, perturbR00: Boolean = false): Array[Byte] = {
     val (w, h) = synthDims(k)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (synthPixel(k, x, y, 0, frame) << 16) |
+        val r =
+          if (perturbR00 && x == 0 && y == 0)
+            (synthPixel(k, x, y, 0, frame) + 128) % 256
+          else synthPixel(k, x, y, 0, frame)
+        img.setRGB(x, y, (r << 16) |
           (synthPixel(k, x, y, 1, frame) << 8) | synthPixel(k, x, y, 2, frame))
         x += 1
       }
@@ -102,6 +109,64 @@ object Multimodal {
     feats(3) = w.toFloat / 1024f
     feats(4) = h.toFloat / 1024f
     (w, h, feats)
+  }
+
+  /** 60-bit perceptual difference hash (dHash, Krawetz's gradient hash)
+    * over the DECODED pixels: grayscale is sampled on an 11×6
+    * nearest-neighbor grid (sx = gx·w/11, sy = gy·h/6 — integer division,
+    * deterministic, no interpolation kernel to match cross-engine), and
+    * bit gy·10+gx is set iff gray(gx+1, gy) > gray(gx, gy) — 10 horizontal
+    * gradient comparisons per row × 6 rows = 60 bits, the same width as
+    * the token simhash so the quarter-split pair machinery
+    * ([[Dedup.hammingPairs]]) applies unchanged. Gray = r+g+b (integer,
+    * 0..765 — no luma weights, keeping the oracle's closed-form replay
+    * integer-exact). Scale/brightness-shift robustness is the dHash
+    * property: gradients survive smooth global changes; a one-pixel edit
+    * moves at most the bits whose comparisons sample that pixel. */
+  def dHash60(payload: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    val gray = Array.ofDim[Int](6, 11)
+    var gy = 0
+    while (gy < 6) {
+      var gx = 0
+      while (gx < 11) {
+        val sx = gx * w / 11; val sy = gy * h / 6
+        val rgb = img.getRGB(sx, sy)
+        gray(gy)(gx) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < 6) {
+      var gx = 0
+      while (gx < 10) {
+        if (gray(gy)(gx + 1) > gray(gy)(gx)) hash |= 1L << (gy * 10 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Planted near-dup image table: doc k's payload is the base image of
+    * its group of `groupSize` consecutive ids (k − k % groupSize), so each
+    * group holds identical pixels — except the group's LAST member, which
+    * carries the one-pixel (0,0) red perturbation (dHash distance ≤ 1 from
+    * its group: a realistic re-encoded/retouched near-duplicate). Payloads
+    * are real encoded PNGs; the image-dedup pass must DECODE them to see
+    * any of this. */
+  def nearDupImagesFromDocs(spark: SparkSession, docs: DataFrame,
+                            groupSize: Int = 5): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { k =>
+      val base = k - k % groupSize
+      MediaRow(k, encodePng(base, 0, perturbR00 = k % groupSize == groupSize - 1),
+        "image/png")
+    }
   }
 
   /** Split a frame container into its PNG frame payloads. */

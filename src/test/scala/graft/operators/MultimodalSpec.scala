@@ -89,4 +89,29 @@ class MultimodalSpec extends AnyFunSuite {
     // spark.sql.extensions in production; here we only assert apply() runs
     succeed
   }
+
+  test("dHash60: identical payloads collide, a one-pixel edit is hamming <= 1, planted groups pair up") {
+    import spark.implicits._
+    // determinism + near-dup property of the perceptual hash itself
+    val base = Multimodal.dHash60(Multimodal.encodePng(40L))
+    assert(base == Multimodal.dHash60(Multimodal.encodePng(40L)))
+    val pert = Multimodal.dHash60(Multimodal.encodePng(40L, 0, perturbR00 = true))
+    assert(java.lang.Long.bitCount(base ^ pert) <= 1,
+      s"one-pixel edit moved ${java.lang.Long.bitCount(base ^ pert)} dHash bits")
+    // distinct base images should not all collide (gradient bits are live)
+    val others = Seq(1L, 2L, 3L, 7L, 13L).map(k => Multimodal.dHash60(Multimodal.encodePng(k)))
+    assert((others :+ base).distinct.size >= 4)
+    // end-to-end: two planted groups of 5 (4 identical + 1 near-dup each)
+    val docs = (0L until 10L).toDF("doc_id")
+    val hashes = Multimodal.nearDupImagesFromDocs(spark, docs)
+      .mapPartitions(_.map(r => (r.doc_id, Multimodal.dHash60(r.payload))))
+      .toDF("id", "h")
+    val pairs = Dedup.hammingPairs(hashes, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (g <- Seq(0L, 5L); i <- 0 until 5; j <- (i + 1) until 5)
+      assert(pairs.contains((g + i, g + j)), s"missing within-group pair ${g + i},${g + j}")
+    assert(pairs((0L, 1L)) == 0 && pairs((5L, 6L)) == 0) // byte-identical members
+    assert(pairs((0L, 4L)) <= 1)                         // the perturbed member
+    spark.catalog.clearCache() // hammingPairs' persisted blocking frames
+  }
 }

@@ -397,6 +397,16 @@ object QueryCatalog {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.pqTopK(v, q, k = 10)
     }),
+    // IVFADC: coarse quantizer + ksub=256 RESIDUAL product quantization,
+    // asymmetric-distance scored with the per-bucket |r_q|² bias folded in
+    // (ranking comparable across probed buckets) — the composed index a
+    // production embedding column ships with
+    "ivfpq_topk" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfpqTopK(v, q, k = 10)
+    }),
 
     // ---- text analysis -----------------------------------------------------
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -1984,6 +1994,75 @@ object QueryCatalog {
          |  row_number() OVER (PARTITION BY qid ORDER BY score_u DESC, vec_id) AS rank
          | FROM sc WHERE vec_id <> qid)
          |SELECT qid, rank::INT AS rank, vec_id, score_u FROM r WHERE rank <= 10""".stripMargin,
+
+    // IVFADC oracle: coarse assign (the ann_ivf argmax-cosine CTEs),
+    // residuals by list arithmetic, residual codebooks from the first-256
+    // sample, encode via the same 2·r·c − |c|² argmax, ADC lut with the
+    // sub-0 bias — every float op is the identical IEEE tree, every score
+    // floored to micro-units before the sum
+    "ivfpq_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS d, e
+         | FROM v ORDER BY vec_id LIMIT 16),
+         |ad AS (
+         | SELECT v.vec_id, c.d,
+         |  list_dot_product(v.e, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
+         | FROM v, cent c),
+         |assign AS (
+         | SELECT vec_id, d AS bucket FROM (
+         |  SELECT vec_id, d, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, d) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |resid AS (
+         | SELECT v.vec_id, a.bucket,
+         |  list_transform(list_zip(v.e, c.e), p -> p[1] - p[2]) AS r
+         | FROM v JOIN assign a ON a.vec_id = v.vec_id JOIN cent c ON c.d = a.bucket),
+         |cb AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, r
+         | FROM resid ORDER BY vec_id LIMIT 256),
+         |subs AS (SELECT CAST(s.range AS INT) AS sub FROM range(0, 8) s),
+         |csub AS (SELECT subs.sub, cb.j,
+         |  list_slice(cb.r, subs.sub*8 + 1, (subs.sub+1)*8) AS ce
+         | FROM cb CROSS JOIN subs),
+         |scoredv AS (SELECT t.vec_id, cs.sub, cs.j,
+         |  list_dot_product(list_slice(t.r, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
+         |    - list_dot_product(cs.ce, cs.ce) AS score
+         | FROM resid t CROSS JOIN csub cs),
+         |enc AS (SELECT vec_id, sub, j AS code FROM (
+         |  SELECT vec_id, sub, j, row_number() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY score DESC, j) AS rn
+         |  FROM scoredv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |qd AS (
+         | SELECT q.qid, c.d,
+         |  list_dot_product(q.qe, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
+         | FROM q, cent c),
+         |qprobe AS (
+         | SELECT qid, d AS bucket FROM (
+         |  SELECT qid, d, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, d DESC) AS rn
+         |  FROM qd) WHERE rn <= 4),
+         |qres AS (
+         | SELECT p.qid, p.bucket,
+         |  list_transform(list_zip(q.qe, c.e), pp -> pp[1] - pp[2]) AS rq
+         | FROM qprobe p JOIN q ON q.qid = p.qid JOIN cent c ON c.d = p.bucket),
+         |lut AS (SELECT t.qid, t.bucket, cs.sub, cs.j AS code,
+         |  CAST(floor((list_dot_product(cs.ce, cs.ce)
+         |      - list_dot_product(list_slice(t.rq, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
+         |    ) * 1000000.0) AS BIGINT)
+         |  + CASE WHEN cs.sub = 0
+         |      THEN CAST(floor(list_dot_product(t.rq, t.rq) * 1000000.0) AS BIGINT)
+         |      ELSE 0 END AS lut_u
+         | FROM qres t CROSS JOIN csub cs),
+         |sc AS (SELECT l.qid, a.vec_id, CAST(sum(l.lut_u) AS BIGINT) AS dist_u
+         | FROM assign a
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN lut l ON l.bucket = a.bucket AND l.sub = e.sub AND l.code = e.code
+         | WHERE a.vec_id <> l.qid
+         | GROUP BY 1, 2),
+         |rk AS (SELECT qid, vec_id, dist_u,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist_u, vec_id) AS rank
+         | FROM sc)
+         |SELECT qid, rank::INT AS rank, vec_id, dist_u FROM rk WHERE rank <= 10""".stripMargin,
 
     "retile_64" -> OracleSql.retile64,
 

@@ -271,6 +271,103 @@ object Similarity {
       .select("qid", "rank", "vec_id", "score_u")
   }
 
+  /** Driver-side replica of [[ivfBucket]]'s assignment rule (argmax cosine
+    * over the codebook, tie → lowest id) — bit-identical IEEE ops (dot and
+    * |c|² accumulate left-to-right, one division by the same literal norm),
+    * so a sample row's bucket computed here equals the engine's. Used to
+    * form residual codebooks from a collected sample. */
+  private def coarseBucketOf(e: IndexedSeq[Double], cents: Seq[Seq[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var bi = 0
+    var d = 0
+    while (d < cents.size) {
+      val c = cents(d)
+      var dot = 0.0
+      var i = 0
+      while (i < c.size) { dot += e(i) * c(i); i += 1 }
+      val score = dot / math.sqrt(c.map(x => x * x).sum)
+      if (score > best) { best = score; bi = d }
+      d += 1
+    }
+    bi
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV, "Product quantization for nearest
+    * neighbor search"): the composed coarse-quantizer + residual-PQ index —
+    * the structure a 100-TB embedding column actually ships with. Flat PQ
+    * at small ksub cannot rank within-cluster neighbors (measured
+    * precision@10 ≈ 0.14 on the planted clustered fixture, PqSpec): the
+    * codebook spends its resolution describing the GLOBAL spread. Encoding
+    * the residual x − coarse_centroid(bucket) instead makes the PQ
+    * codebook model only the local displacement distribution — which is
+    * shared across buckets, so even a one-cluster codebook sample
+    * generalizes — and ksub = 256 gives each subspace 8 bits of local
+    * resolution.
+    *
+    * Scale shape: coarse assignment and residual encoding are one
+    * zero-shuffle codegen-fallback kernel pass ([[graft.functions.PqResidualCodesExpr]]
+    * — the codebooks ride the expression, not a join); the per-(query,
+    * probed bucket) ADC tables are queries × nProbe × m × ksub rows —
+    * broadcast ([[graft.functions.PqAdcLutExpr]]); the only corpus-sized
+    * plan is the (bucket, sub, code) equi-join + map-side-combined integer
+    * sum. Scores are exact integer micro-units (entries floored BEFORE the
+    * sum, per-bucket |r_q|² bias folded into sub 0 so ranking is
+    * comparable across probed buckets), ascending = nearest; ties break by
+    * vec_id, so ranking is engine-total. `lloydRounds` refines the COARSE
+    * codebook only (leave 0 for near-uniform data and for the oracle-gated
+    * catalog query — [[kmeansRefine]]'s float means are not SQL-replayable).
+    *
+    * Returns (qid, rank, vec_id, dist_u) — approximate by construction;
+    * PqSpec pins the within-cluster precision lift over flat PQ. */
+  def ivfpqTopK(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
+                nCoarse: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 256,
+                lloydRounds: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val cents = kmeansRefine(vectors, ivfCentroids(vectors, nCoarse), lloydRounds)
+    val dsub = dim / m
+    // residual codebooks: the deterministic first-ksub sample's residuals
+    // against their OWN coarse centroids (driver-side bucket rule is the
+    // engine's, bit-exact — see coarseBucketOf)
+    val sample = vectors.orderBy("vec_id").limit(ksub)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      sample.toSeq.map { e =>
+        val c = cents(coarseBucketOf(e, cents))
+        ((s * dsub) until ((s + 1) * dsub)).map(i => e(i) - c(i)): Seq[Double]
+      }
+    }
+    val encoded = vectors
+      .withColumn("bucket", ivfBucket(col("embedding"), cents))
+      .select(col("vec_id"), col("bucket"),
+        posexplode(graft.functions.PqFunctions.pq_residual_codes(
+          col("embedding"), col("bucket"), cents, books)).as(Seq("sub", "code")))
+    // probe rule identical to ivfTopK: top-nProbe coarse centroids by
+    // cosine, ties to the larger id (the reversed ascending struct sort)
+    val qDots = cents.zipWithIndex.map { case (c, d) =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      struct((graft.functions.VectorOps.dot(col("qvec"), array(c.map(lit(_)): _*))
+        / lit(norm)).as("dot"), lit(d).as("d"))
+    }
+    val qProbes = queries.withColumn("probes",
+        slice(reverse(array_sort(array(qDots: _*))), 1, nProbe))
+      .withColumn("bucket",
+        explode(transform(col("probes"), p => p.getField("d"))))
+      .drop("probes")
+    val lut = qProbes.select(col("qid"), col("bucket"),
+        explode(graft.functions.PqFunctions.pq_adc_lut(
+          col("qvec"), col("bucket"), cents, books)).as("e"))
+      .select(col("qid"), col("bucket"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.lut_u").as("lut_u"))
+    val scored = encoded.join(broadcast(lut), Seq("bucket", "sub", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("lut_u").as("dist_u"))
+    val w = WExpr.partitionBy(col("qid")).orderBy(col("dist_u").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "dist_u")
+  }
+
   /** Sampled estimate of the hottest (band, key) bucket's row count —
     * see [[graft.operators.Dedup.approxMaxKeyRows]] for the estimator
     * rationale (detects dominance, not small counts). */

@@ -123,6 +123,63 @@ class PqSpec extends AnyFunSuite {
     assert(r0 >= 0.03 && r3 >= 0.03, s"fine recall below the noise floor: $r0 / $r3")
   }
 
+  test("plan shape: IVFADC scoring is a broadcast equi-join on (bucket, sub, code)") {
+    val q = vecs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = Similarity.ivfpqTopK(vecs, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"), "the ADC lut join should broadcast")
+  }
+
+  test("IVFADC: residual encoding + ksub=256 lifts within-cluster recall far above flat PQ") {
+    import spark.implicits._
+    // the same planted fixture (8 Gaussian clusters, rows ordered by
+    // cluster) on which flat PQ measured recall@10 ≈ 0.04 (ksub=16, any
+    // codebook) and 0.138 (ksub=64): cluster-mates differ only by noise,
+    // so ranking them needs LOCAL resolution. IVFADC encodes the residual
+    // against the (Lloyd-refined) coarse centroid — the residual
+    // distribution is shared across clusters, so even the one-cluster
+    // first-256 codebook sample generalizes — and ksub=256 spends all 8
+    // bits per subspace on that local displacement.
+    val rng = new scala.util.Random(101)
+    val dim = 64; val nClusters = 8; val per = 250
+    val centers = Array.fill(nClusters, dim)(rng.nextGaussian())
+    val rows = for (c <- 0 until nClusters; j <- 0 until per) yield {
+      val emb = Array.tabulate(dim)(d =>
+        (centers(c)(d) + 0.35 * rng.nextGaussian()).toFloat)
+      ((c * per + j).toLong, emb)
+    }
+    val v = rows.toDF("vec_id", "embedding")
+    val q = v.where(col("vec_id") % per === 37)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val data = rows.map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    val qids = data.keys.filter(_ % per == 37).toSeq.sorted
+    // ground truth: exact L2 (what ADC approximates)
+    val exact = qids.map { qid =>
+      val qv = data(qid)
+      qid -> data.keys.filter(_ != qid).map { id =>
+        val d = data(id).zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, id)
+      }.toSeq.sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+    val got = Similarity.ivfpqTopK(v, q, 10, dim = dim,
+        nCoarse = 8, nProbe = 2, m = 8, ksub = 256, lloydRounds = 3)
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = qids.map(k =>
+      (got.getOrElse(k, Set.empty) intersect exact(k)).size / 10.0).sum / qids.size
+    val clusterPrec = qids.map { k =>
+      got.getOrElse(k, Set.empty).count(_ / per == k / per) / 10.0
+    }.sum / qids.size
+    info(f"IVFADC (nCoarse=8+3 Lloyd, nProbe=2, m=8, ksub=256) on clustered data — " +
+      f"recall@10 $recall%.3f, cluster-precision@10 $clusterPrec%.3f (flat-PQ baselines: 0.04 @ksub=16, 0.138 @ksub=64)")
+    assert(clusterPrec >= 0.95, s"IVFADC retrieved from the wrong cluster: $clusterPrec")
+    // the verdict-grade claim: materially above the flat-PQ 0.138 ceiling
+    assert(recall >= 0.30, s"IVFADC within-cluster recall did not lift over flat PQ: $recall")
+  }
+
   test("pqTopK recall vs exact brute force stays above the pinned floor") {
     val q = vecs.where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -528,6 +528,82 @@ object TextOps {
       .select("doc_id", "source", "bucket", "n_tokens")
   }
 
+  /** Word-table ceiling for [[bpeTrain]]'s single-task fast path. 1M
+    * distinct word forms × (symbol array + freq) is a few hundred MB in
+    * one task — comfortably under executor memory — while covering every
+    * corpus whose vocabulary a tokenizer trainer would realistically see
+    * (web-corpus word tables are ~10M forms; those take the distributed
+    * loop). */
+  val LocalBpeWordLimit = 1000000L
+
+  /** One left-to-right non-overlapping merge pass (a symbol minted this
+    * round never re-matches this round) — shared by both training paths
+    * and mirrored by the oracle's bracketed-string replace. */
+  private def mergeLtr(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** UTF-8 byte-wise unsigned less-than — the UTF8String binary order
+    * Spark's string orderBy applies, which differs from String.compareTo
+    * (UTF-16 code units) for supplementary characters. The local trainer
+    * must break count ties in exactly the engine's order. */
+  private def byteLess(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The whole merge induction over one task's word table — the identical
+    * count → argmax (n desc, then byte-lex (lhs, rhs)) → LTR rewrite loop
+    * the distributed path runs as Spark jobs. */
+  private def trainLocal(it: Iterator[(Seq[String], Long)],
+                         nMerges: Int): Iterator[(Int, String, String, Long)] = {
+    var words = it.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // total-order argmax — hash iteration order cannot leak into the
+        // result
+        var bl: String = null; var br: String = null; var bn = Long.MinValue
+        counts.foreach { case ((l, r), n) =>
+          val better = n > bn || (n == bn &&
+            (byteLess(l, bl) || (l == bl && byteLess(r, br))))
+          if (better) { bl = l; br = r; bn = n }
+        }
+        merges += ((rank, bl, br, bn))
+        words = words.map { case (syms, f) => (mergeLtr(syms, bl, br), f) }
+        rank += 1
+      }
+    }
+    merges.iterator
+  }
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016 merge induction): learn
     * the ordered merges table itself — each round counts adjacent symbol
     * pairs across the corpus, merges the most frequent (ties: lexicographic
@@ -547,21 +623,22 @@ object TextOps {
     * Rewrite rule: left-to-right non-overlapping within each word, and a
     * symbol minted this round never re-matches this round — exactly the
     * bracketed-string `replace` the DuckDB oracle replays.
-    * Output: (rank, lhs, rhs, n) — n is the pair's count at merge time. */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    * Output: (rank, lhs, rhs, n) — n is the pair's count at merge time.
+    *
+    * HYBRID (the [[Dedup.connectedComponents]] fast-path discipline): the
+    * working state is the word-frequency table — vocabulary-sized, ≪
+    * corpus — and the distributed loop's per-round cost is pure scheduler
+    * fixed cost once that table fits one task: a real 50k-merge vocab
+    * means 50k sequential Spark jobs. A word table measured at or under
+    * `localWordLimit` rows therefore trains in ONE task
+    * (repartition(1) + the identical count→argmax→rewrite induction,
+    * byte-lexicographic ties — the UTF8String binary order Spark's
+    * orderBy uses); larger tables keep the distributed loop.
+    * BpeTrainSpec pins fast == distributed on planted corpora. */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               localWordLimit: Long = LocalBpeWordLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    def mergeLtr(syms: Seq[String], l: String, r: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          out += l + r; i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.toSeq
-    }
 
     var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
@@ -574,6 +651,16 @@ object TextOps {
         (cps.map(cp => new String(Character.toChars(cp))).toSeq, f)
       }
       .localCheckpoint(true)
+
+    // the checkpoint above materialized the table, so this count is a
+    // cached-block scan, not a recompute
+    if (words.count() <= localWordLimit) {
+      val res = words.repartition(1)
+        .mapPartitions(it => trainLocal(it, nMerges))
+        .collect() // ≤ nMerges rows — merges are driver values, both paths
+      words.unpersist()
+      return res.toSeq.toDF("rank", "lhs", "rhs", "n")
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false

@@ -48,4 +48,33 @@ class BpeTrainSpec extends AnyFunSuite {
       assert(nTok < text.replace(" ", "").length, "merges must compress below char count")
     }
   }
+
+  test("hybrid: single-task fast path == distributed loop on a fuzzed corpus (deep merge chains)") {
+    import spark.implicits._
+    // small alphabet forces long dependent merge chains (products of
+    // products), the regime where a path divergence in counting, ties or
+    // LTR rewrite would surface
+    val rnd = new scala.util.Random(7L)
+    val alpha = "abcd"
+    val docs = (0L until 200L).map { i =>
+      val words = (0 until 20).map(_ =>
+        (0 until (2 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(4))).mkString)
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(limit: Long) = TextOps.bpeTrain(docs, nMerges = 24, localWordLimit = limit)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val t0 = System.nanoTime()
+    val fast = run(Long.MaxValue) // word table always under → fast path
+    val t1 = System.nanoTime()
+    val loop = run(0L)            // force the distributed per-round loop
+    val t2 = System.nanoTime()
+    assert(fast == loop, s"fast=$fast\nloop=$loop")
+    assert(fast.size == 24)
+    val fastS = (t1 - t0) / 1e9; val loopS = (t2 - t1) / 1e9
+    info(f"bpeTrain 24 merges: fast path $fastS%.2f s vs distributed loop $loopS%.2f s")
+    // 24 driver-coordinated rounds = ≥48 Spark jobs vs ONE for the fast
+    // path — even on a noisy host the gap is structural
+    assert(fastS < loopS, s"fast path ($fastS s) not faster than the loop ($loopS s)")
+  }
 }

@@ -418,6 +418,11 @@ object QueryCatalog {
     // Gopher repetition+format filters (Rae et al. 2021 §A1.1) — integer
     // signals only, so the hash gate is engine-exact
     "text_quality_gopher" -> ((s, dir) => TextOps.gopherQuality(docs(s, dir))),
+    // model-based quality (the CCNet/fastText stage): hashed-bigram linear
+    // classifier distilled from the heuristic's weak labels on the
+    // doc_id%5 slice — one integer gradient step (= Σ y·x at w=0), weights
+    // broadcast, zero-shuffle scoring map
+    "model_quality" -> ((s, dir) => TextOps.modelQuality(docs(s, dir))),
     // eval-set decontamination: deterministic benchmark slice (doc_id%53),
     // 5-gram overlap; the benchmark docs flag themselves plus any
     // training doc sharing a 5-gram (the fixture's planted near-dups)
@@ -1720,6 +1725,36 @@ object QueryCatalog {
         | (len(toks) >= 15 AND (n_chars - n_spaces) / len(toks)::DOUBLE >= 2.0
         |   AND len(list_filter(toks, x -> x IN ('the','and','a','of','to','in','over'))) * 20 >= len(toks)) AS quality_ok
         |FROM t""".stripMargin,
+
+    // hashed-bigram linear classifier: weights = Σ (±1 per labeled-doc
+    // bigram occurrence) per 4096-bucket, trained on the doc_id%5 slice
+    // with the INTEGER form of the quality heuristic as weak label
+    // (non-space code points ≥ 2·n_tokens ⟺ mean_token_len ≥ 2.0);
+    // score = Σ w[h(bigram)] over every doc's bigram occurrences. All
+    // integers — the engine's h60Jvm is the same md5-15-hex fingerprint.
+    "model_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        |lab AS (SELECT doc_id, l,
+        |  (len(l) >= 15 AND length(replace(text, ' ', '')) >= 2 * len(l)
+        |    AND len(list_filter(l, x -> x IN ('the','and','a','of','to','in','over'))) * 20 >= len(l)) AS y_pos
+        | FROM t WHERE doc_id % 5 = 0),
+        |lbg AS (SELECT y_pos,
+        |  unnest(list_transform(list_zip(l, l[2:]), s -> s[1] || ' ' || s[2])) AS bg
+        | FROM lab),
+        |w AS (SELECT CAST(('0x' || substring(md5(bg), 1, 15)) AS BIGINT) % 4096 AS h,
+        |  SUM(CASE WHEN y_pos THEN 1 ELSE -1 END) AS w
+        | FROM lbg WHERE bg IS NOT NULL GROUP BY 1),
+        |sbg AS (SELECT doc_id,
+        |  unnest(list_transform(list_zip(l, l[2:]), s -> s[1] || ' ' || s[2])) AS bg
+        | FROM t),
+        |sco AS (SELECT s.doc_id, SUM(w.w) AS sc
+        | FROM sbg s JOIN w
+        |  ON w.h = CAST(('0x' || substring(md5(s.bg), 1, 15)) AS BIGINT) % 4096
+        | WHERE s.bg IS NOT NULL
+        | GROUP BY 1)
+        |SELECT t.doc_id, CAST(COALESCE(sco.sc, 0) AS BIGINT) AS score,
+        | COALESCE(sco.sc, 0) >= 0 AS model_ok
+        |FROM t LEFT JOIN sco ON sco.doc_id = t.doc_id""".stripMargin,
 
     // bigram list via zip-with-shifted-self; the zip's NULL-padded tail is
     // filtered before the distinct. Bigrams are hashed to the 60-bit md5

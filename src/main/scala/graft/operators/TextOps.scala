@@ -528,6 +528,81 @@ object TextOps {
       .select("doc_id", "source", "bucket", "n_tokens")
   }
 
+  /** Stopword list shared by the heuristic quality score and the model
+    * scorer's weak labels. */
+  private val ModelStopwords: Set[String] =
+    Set("the", "and", "a", "of", "to", "in", "over")
+
+  /** Integer weak label for [[modelQuality]] — the [[qualityScore]]
+    * heuristic in exact integer form (mean_token_len ≥ 2.0 ⟺ non-space
+    * chars ≥ 2·n_tokens), counted in CODE POINTS (String.length counts
+    * UTF-16 units; SQL length() counts code points, and they differ on
+    * astral chars). */
+  private[graft] def modelLabelPos(text: String): Boolean = {
+    val toks = text.split(" ", -1)
+    val nTokens = toks.length
+    val noSpace = text.replace(" ", "")
+    val nLetters = noSpace.codePointCount(0, noSpace.length)
+    var nStop = 0
+    toks.foreach(t => if (ModelStopwords.contains(t)) nStop += 1)
+    nTokens >= 15 && nLetters >= 2 * nTokens && nStop * 20 >= nTokens
+  }
+
+  /** Model-based quality scoring (the CCNet/fastText curation stage:
+    * a TRAINED linear classifier over hashed n-gram features, distilled
+    * here from the heuristic's weak labels — exactly how production
+    * quality classifiers are bootstrapped when no human labels exist):
+    * w[h] = Σ_labeled y·count_h(doc) over hashed-bigram buckets, which is
+    * the first full-batch gradient step of logistic loss from w = 0
+    * (∇ at 0 ∝ Σ y·x) — and, unlike later steps, needs no sigmoid, so
+    * training stays INTEGER-exact and the cross-engine gate is a hash
+    * match, not a float truce. score(doc) = Σ w[h(bigram)] over the doc's
+    * bigram occurrences.
+    *
+    * Scale shape: training is ONE map-side-combined aggregation over the
+    * deterministic labeled slice (doc_id % labelMod = 0) whose output is
+    * ≤ nBuckets rows — collected like a codebook; scoring is a
+    * zero-shuffle typed map with the weight array riding the closure
+    * (the [[bpeEncode]]/[[dsirScores]] layout: parquet-scan speed at
+    * 100 TB, full column pruning). Generalization (held-out junk ranking
+    * below held-out clean) is pinned by TextOpsSpec.
+    *
+    * Output: (doc_id, score, model_ok) — score an exact integer,
+    * model_ok = score ≥ 0. */
+  def modelQuality(docs: DataFrame, nBuckets: Int = 4096,
+                   labelMod: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBuckets > 0)
+    val wRows = docs.where(col("doc_id") % labelMod === 0)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (_, text) =>
+        val y = if (modelLabelPos(text)) 1L else -1L
+        val t = text.split(" ", -1)
+        (0 until t.length - 1).iterator.map { i =>
+          (h60Jvm(t(i) + " " + t(i + 1)) % nBuckets, y)
+        }
+      })
+      .toDF("h", "y")
+      .groupBy("h").agg(sum("y").as("w"))
+      .collect() // bounded by nBuckets — the codebook discipline
+    val w = new Array[Long](nBuckets)
+    wRows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t = text.split(" ", -1)
+          var s = 0L
+          var i = 0
+          while (i < t.length - 1) {
+            s += w((h60Jvm(t(i) + " " + t(i + 1)) % nBuckets).toInt)
+            i += 1
+          }
+          (id, s, s >= 0L)
+        }
+      }.toDF("doc_id", "score", "model_ok")
+  }
+
   /** Word-table ceiling for [[bpeTrain]]'s single-task fast path. 1M
     * distinct word forms × (symbol array + freq) is a few hundred MB in
     * one task — comfortably under executor memory — while covering every

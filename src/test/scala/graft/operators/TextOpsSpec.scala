@@ -196,4 +196,40 @@ class TextOpsSpec extends AnyFunSuite {
       3L -> ((3L, 2L))))                   // cde seen elsewhere, def/efg not
     spark.catalog.clearCache()
   }
+
+  test("modelQuality: weak-label distillation generalizes — held-out junk ranks below held-out clean") {
+    import spark.implicits._
+    // two vocabularies, random word sequences: odd ids are junk (1-char
+    // tokens, no stopwords — the heuristic label fires false), even ids
+    // clean. The labeled slice (doc_id % 5 = 0) contains BOTH classes
+    // (5, 15, 25… are junk); generalization is judged on the HELD-OUT
+    // doc_id % 5 ≠ 0 docs, whose exact word sequences (and so most
+    // bigrams) the trainer never saw.
+    val rnd = new scala.util.Random(42)
+    val cleanVocab = Vector("the", "report", "describes", "a", "method", "of",
+      "data", "processing", "in", "systems", "over", "time", "and", "results",
+      "show", "clear", "gains", "to", "users")
+    val junkVocab = Vector("z", "q", "x", "j", "k", "v", "w", "n", "m", "p")
+    val docs = (0L until 100L).map { i =>
+      val vocab = if (i % 2 == 1) junkVocab else cleanVocab
+      val n = 20 + rnd.nextInt(10)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextOps.modelQuality(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val heldOut = (0L until 100L).filter(_ % 5 != 0)
+    val cleanScores = heldOut.filter(_ % 2 == 0).map(got(_)._1)
+    val junkScores = heldOut.filter(_ % 2 == 1).map(got(_)._1)
+    assert(cleanScores.nonEmpty && junkScores.nonEmpty)
+    val meanClean = cleanScores.sum.toDouble / cleanScores.size
+    val meanJunk = junkScores.sum.toDouble / junkScores.size
+    info(f"held-out mean score: clean $meanClean%.1f vs junk $meanJunk%.1f")
+    assert(meanClean > meanJunk,
+      s"model failed to separate held-out classes: clean $meanClean vs junk $meanJunk")
+    // per-doc sign accuracy on held-out docs (bucket collisions allow a
+    // few misses; the distilled signal must still be nearly clean)
+    val acc = heldOut.count(i => got(i)._2 == (i % 2 == 0)).toDouble / heldOut.size
+    info(f"held-out sign accuracy: $acc%.3f")
+    assert(acc >= 0.9, s"held-out accuracy $acc below 0.9")
+  }
 }

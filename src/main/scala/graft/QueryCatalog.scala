@@ -370,6 +370,19 @@ object QueryCatalog {
       Dedup.hammingPairs(hashes, maxHamming = 6)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
     }),
+    // perceptual audio near-dup dedup: REAL WAV decode → 60-bit gradient
+    // hash over 61 nearest-sampled positions → the same quarter-split
+    // hamming machinery. Groups of 4 identical WAVs, last member carries a
+    // one-sample t=0 edit (hamming ≤ 1); the oracle replays the hash
+    // analytically from the synth sample formula.
+    "audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Multimodal.nearDupAudioFromDocs(s, docs(s, dir))
+        .mapPartitions(_.map(r => (r.doc_id, Multimodal.aHash60(r.payload))))
+        .toDF("id", "h")
+      Dedup.hammingPairs(hashes, maxHamming = 4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+    }),
 
     // ---- similarity search -------------------------------------------------
     "ann_topk" -> ((s, dir) => {
@@ -1755,6 +1768,41 @@ object QueryCatalog {
         |SELECT t.doc_id, CAST(COALESCE(sco.sc, 0) AS BIGINT) AS score,
         | COALESCE(sco.sc, 0) >= 0 AS model_ok
         |FROM t LEFT JOIN sco ON sco.doc_id = t.doc_id""".stripMargin,
+
+    // analytic audio-hash replay: the engine DECODES real WAVs; the oracle
+    // re-derives every sampled 16-bit value from the closed-form synth
+    // formula (base id = doc_id − doc_id%4; the group's last member adds
+    // 512 to sample 0, which only position p=0 = bit 0 can see), then the
+    // identical quarter-split + cap + hamming pipeline
+    "audio_dedup" ->
+      s"""WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS b,
+         |  (doc_id % 4 = 3) AS pert FROM documents),
+         |dn AS (SELECT doc_id, b, pert, 200 + b % 100 AS n FROM d),
+         |pos AS (SELECT doc_id, b, pert, i.i AS i, (i.i * n) // 61 AS p
+         | FROM dn, range(0, 61) i(i)),
+         |sv AS (SELECT doc_id, i,
+         |  (((b * 31 + p * 17 + 7) % 2048) - 1024
+         |    + CASE WHEN pert AND p = 0 THEN 512 ELSE 0 END) AS s
+         | FROM pos),
+         |bits AS (SELECT l.doc_id, l.i AS bit, (r.s > l.s) AS bset
+         | FROM sv l JOIN sv r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+         | WHERE l.i < 60),
+         |hh AS (SELECT doc_id,
+         |  SUM(CASE WHEN bset THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS h
+         | FROM bits GROUP BY 1),
+         |blocks AS (SELECT doc_id, h, q.q AS q, (h >> (q.q * 15)) & 32767 AS qk
+         | FROM hh, range(0, 4) q(q)),
+         |hot AS (SELECT q, qk FROM (
+         |  SELECT q, qk, count(DISTINCT h) AS df FROM blocks GROUP BY 1, 2)
+         | WHERE df > ${Dedup.QuarterDfCap}),
+         |blk AS (SELECT b.doc_id, b.h, b.q, b.qk
+         | FROM blocks b ANTI JOIN hot t ON b.q = t.q AND b.qk = t.qk),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.h AS ha,
+         |  y.doc_id AS doc_b, y.h AS hb
+         | FROM blk x JOIN blk y
+         |  ON x.q = y.q AND x.qk = y.qk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
 
     // bigram list via zip-with-shifted-self; the zip's NULL-padded tail is
     // filtered before the distinct. Bigrams are hashed to the 60-bit md5

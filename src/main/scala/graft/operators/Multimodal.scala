@@ -195,14 +195,18 @@ object Multimodal {
   val AudioSampleRate = 8000f
 
   /** Deterministic WAV bytes for doc k: 16-bit signed little-endian PCM,
-    * mono, 8 kHz, written by the JDK's WAVE writer. */
-  def encodeWav(k: Long): Array[Byte] = {
+    * mono, 8 kHz, written by the JDK's WAVE writer. `perturbT0` adds 512
+    * to sample 0 (wrapping in 16-bit space) — a one-sample edit used to
+    * plant NEAR-duplicate audio: it can move at most the one [[aHash60]]
+    * bit whose comparison samples position 0. */
+  def encodeWav(k: Long, perturbT0: Boolean = false): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = synthAudioLen(k)
     val pcm = new Array[Byte](n * 2)
     var t = 0
     while (t < n) {
-      val s = synthSample(k, t)
+      val s0 = synthSample(k, t)
+      val s = if (perturbT0 && t == 0) ((s0 + 512).toShort) else s0
       pcm(2 * t) = (s & 0xff).toByte
       pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
       t += 1
@@ -243,6 +247,63 @@ object Multimodal {
       t += 1
     }
     AudioStats(fmt.getSampleRate.toInt, n, sum, sq, zc)
+  }
+
+  /** Decoded 16-bit samples of one WAV payload (real RIFF parse via
+    * javax.sound.sampled — shared decode core with [[decodeWav]]). */
+  def decodeSamples(payload: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected 16-bit mono PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var t = 0
+    while (t < n) {
+      out(t) =
+        if (fmt.isBigEndian) (bytes(2 * t).toInt << 8) | (bytes(2 * t + 1) & 0xff)
+        else (bytes(2 * t + 1).toInt << 8) | (bytes(2 * t) & 0xff)
+      t += 1
+    }
+    out
+  }
+
+  /** 60-bit perceptual audio hash over the DECODED samples — the
+    * [[dHash60]] gradient idea in one dimension: 61 nearest-sampled
+    * positions p_i = i·n/61 (integer division — no resampling kernel to
+    * match cross-engine), bit i set iff s(p_{i+1}) > s(p_i). Gradient
+    * signs survive global gain/offset shifts; a one-sample edit moves at
+    * most the bits whose comparisons sample that position. Same 60-bit
+    * width as the token simhash / image dHash, so [[Dedup.hammingPairs]]
+    * applies unchanged. */
+  def aHash60(payload: Array[Byte]): Long = {
+    val s = decodeSamples(payload)
+    val n = s.length
+    require(n >= 2, "audio too short to hash")
+    var hash = 0L
+    var i = 0
+    while (i < 60) {
+      val a = s(math.min((i.toLong * n / 61).toInt, n - 1))
+      val b = s(math.min(((i + 1).toLong * n / 61).toInt, n - 1))
+      if (b > a) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Planted near-dup audio table: doc k's payload is the base WAV of its
+    * group of `groupSize` consecutive ids; each group's LAST member
+    * carries the one-sample t=0 perturbation (aHash distance ≤ 1). */
+  def nearDupAudioFromDocs(spark: SparkSession, docs: DataFrame,
+                           groupSize: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { k =>
+      val base = k - k % groupSize
+      MediaRow(k, encodeWav(base, perturbT0 = k % groupSize == groupSize - 1),
+        "audio/wav")
+    }
   }
 
   /** Byte-level features for media types with NO JDK codec: mean byte

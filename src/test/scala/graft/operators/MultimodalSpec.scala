@@ -114,4 +114,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs((0L, 4L)) <= 1)                         // the perturbed member
     spark.catalog.clearCache() // hammingPairs' persisted blocking frames
   }
+
+  test("aHash60: identical WAVs collide, a one-sample edit is hamming <= 1, planted groups pair up") {
+    import spark.implicits._
+    val base = Multimodal.aHash60(Multimodal.encodeWav(12L))
+    assert(base == Multimodal.aHash60(Multimodal.encodeWav(12L)))
+    val pert = Multimodal.aHash60(Multimodal.encodeWav(12L, perturbT0 = true))
+    assert(java.lang.Long.bitCount(base ^ pert) <= 1,
+      s"one-sample edit moved ${java.lang.Long.bitCount(base ^ pert)} aHash bits")
+    val others = Seq(4L, 8L, 16L, 20L).map(k => Multimodal.aHash60(Multimodal.encodeWav(k)))
+    assert((others :+ base).distinct.size >= 3)
+    val docs = (0L until 8L).toDF("doc_id")
+    val hashes = Multimodal.nearDupAudioFromDocs(spark, docs)
+      .mapPartitions(_.map(r => (r.doc_id, Multimodal.aHash60(r.payload))))
+      .toDF("id", "h")
+    val pairs = Dedup.hammingPairs(hashes, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (g <- Seq(0L, 4L); i <- 0 until 4; j <- (i + 1) until 4)
+      assert(pairs.contains((g + i, g + j)), s"missing within-group pair ${g + i},${g + j}")
+    assert(pairs((0L, 1L)) == 0 && pairs((4L, 5L)) == 0)
+    assert(pairs((0L, 3L)) <= 1)
+    spark.catalog.clearCache()
+  }
 }

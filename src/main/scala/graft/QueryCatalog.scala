@@ -48,6 +48,36 @@ object QueryCatalog {
       |    PARTITION BY vec_id, sub ORDER BY score DESC, j) AS rn
       |  FROM scoredv) WHERE rn = 1)""".stripMargin
 
+  /** Unrolled integer-PageRank oracle: iteration k's CTE references k−1's
+    * — recursive CTEs cannot host per-round aggregates (the bpe_train
+    * lesson), so the ten rounds are generated as a chain. Every value is
+    * an exact integer (contributions floored by `//` before the sum), so
+    * the hash gate needs no float truce; DuckDB's SUM(BIGINT) widens to
+    * HUGEINT, exact throughout, and the final CAST restores BIGINT. */
+  private def pageRankSql(iters: Int): String = {
+    val base =
+      """links AS (
+        | SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+        | UNION ALL
+        | SELECT doc_id % 97, (doc_id * 53 + 11) % 97 FROM documents),
+        |e AS (SELECT src, dst, count(*) AS w FROM links WHERE src <> dst GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |ow AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+        |ew AS (SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow ON ow.src = e.src),
+        |r0 AS (SELECT node, 1000000::BIGINT AS rank_u FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         | 150000 + COALESCE(SUM((r.rank_u * 85 * ew.w) // (100 * ew.wout)), 0) AS rank_u
+         | FROM nodes n
+         | LEFT JOIN ew ON ew.dst = n.node
+         | LEFT JOIN r${k - 1} r ON r.node = ew.src
+         | GROUP BY 1)""".stripMargin
+    }
+    s"WITH $base,\n${rounds.mkString(",\n")}\n" +
+      s"SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM r$iters"
+  }
+
   /** Top-k first-iteration merges for [[TextOps.bpeEncode]], in rank order
     * (n DESC, pair — the bpePairCounts cut). The collect is bounded by k
     * (a merges table is vocab-sized by contract, like the IVF codebook);
@@ -420,6 +450,15 @@ object QueryCatalog {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfpqTopK(v, q, k = 10)
     }),
+
+    // ---- link-graph analytics ---------------------------------------------
+    // domain PageRank as a curation weight: exact integer micro-units (per-
+    // edge contributions floored BEFORE the sum, integer jump constant), so
+    // ten distributed power iterations hash-match the oracle's ten unrolled
+    // CTE rounds exactly; the corpus collapses to the 97-domain edge table
+    // before the loop — iteration shuffles are graph-sized
+    "domain_pagerank" -> ((s, dir) =>
+      Graph.pageRank(Graph.domainLinkGraph(docs(s, dir)), iters = 10)),
 
     // ---- text analysis -----------------------------------------------------
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -1768,6 +1807,8 @@ object QueryCatalog {
         |SELECT t.doc_id, CAST(COALESCE(sco.sc, 0) AS BIGINT) AS score,
         | COALESCE(sco.sc, 0) >= 0 AS model_ok
         |FROM t LEFT JOIN sco ON sco.doc_id = t.doc_id""".stripMargin,
+
+    "domain_pagerank" -> pageRankSql(10),
 
     // analytic audio-hash replay: the engine DECODES real WAVs; the oracle
     // re-derives every sampled 16-bit value from the closed-form synth

@@ -602,6 +602,17 @@ object QueryCatalog {
             concat(lit(ChunkFooter + " "), col("text"))).otherwise(col("text"))),
         chunk = 10)),
 
+    // content-defined chunking dedup: rolling-3-token-hash boundaries
+    // (h60 % 8 == 0 ends a chunk) instead of chunk_dedup's fixed grid —
+    // insert/delete shifts only the chunks it touches, boundaries
+    // resynchronize (TextOpsSpec measures the edit-robustness gap); same
+    // planted footer corpus and keeper rule as chunk_dedup
+    "cdc_chunk_dedup" -> ((s, dir) =>
+      TextOps.cdcChunkDedup(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(lit(ChunkFooter + " "), col("text"))).otherwise(col("text"))))),
+
     // deterministic per-language stratified sampling: downsample the
     // over-represented en (40%) and zh (80%), keep the rest — selection by
     // salted md5 bucket, zero shuffle, reproducible across engines
@@ -1491,6 +1502,33 @@ object QueryCatalog {
          |  array_to_string(toks[ci * 10 + 1 : ci * 10 + 10], ' ') AS chunk FROM i),
          |r AS (SELECT doc_id, ci, n_tok,
          |  row_number() OVER (PARTITION BY ${h60sql("chunk")} ORDER BY doc_id, ci) AS rn
+         | FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE n_tok END) AS BIGINT) AS n_tokens_kept
+         |FROM r GROUP BY 1""".stripMargin,
+
+    // CDC boundaries as a pure per-position window predicate, chunk index
+    // = running boundary count (excluding own flag), chunks reassembled
+    // with an ordered string_agg — an independent relational formulation
+    // of the engine's sequential per-doc scan
+    "cdc_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '$ChunkFooter ' || text ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         |p AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t),
+         |bf AS (SELECT doc_id, toks, i,
+         |  CASE WHEN i >= 2 AND
+         |    ${h60sql("toks[i-1] || ' ' || toks[i] || ' ' || toks[i+1]")} % 8 = 0
+         |   THEN 1 ELSE 0 END AS bflag
+         | FROM p),
+         |ci AS (SELECT doc_id, toks, i,
+         |  SUM(bflag) OVER (PARTITION BY doc_id ORDER BY i) - bflag AS cidx FROM bf),
+         |c AS (SELECT doc_id, cidx, count(*) AS n_tok,
+         |  string_agg(toks[i+1], ' ' ORDER BY i) AS chunk FROM ci GROUP BY 1, 2),
+         |r AS (SELECT doc_id, cidx, n_tok,
+         |  row_number() OVER (PARTITION BY ${h60sql("chunk")} ORDER BY doc_id, cidx) AS rn
          | FROM c)
          |SELECT doc_id, count(*) AS n_chunks,
          | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,

@@ -352,6 +352,65 @@ object TextOps {
         sum(when(col("dup"), 0L).otherwise(col("n_tok"))).as("n_tokens_kept"))
   }
 
+  /** Content-defined chunking dedup (the rsync/LBFS boundary idea applied
+    * to token streams — FastCDC's ancestor): a chunk ends after token i
+    * (i ≥ 2) iff the rolling 3-token window hash satisfies
+    * h60 % `mask` == 0, so boundaries are a function of CONTENT, not
+    * position. Unlike [[chunkDedup]]'s fixed-width grid, an insertion or
+    * deletion shifts only the chunks it touches — boundaries resynchronize
+    * within ~mask tokens — which is what makes chunk-level dedup robust to
+    * the small edits boilerplate actually carries (TextOpsSpec measures
+    * it: a one-token prepend kills every fixed-width chunk match but
+    * preserves most CDC chunk matches). Expected chunk length = mask
+    * tokens (no min/max clamps: the boundary rule stays a pure per-
+    * position predicate, which keeps the oracle a window-sum instead of a
+    * stateful scan).
+    *
+    * Scale shape: boundary detection and chunk assembly are per-doc local
+    * work inside one typed flatMap (zero shuffle); only (doc_id,
+    * chunk_idx, n_tok, h60) rows reach the keeper aggregation — the
+    * [[chunkDedup]] exchange discipline. Keep-first = min (doc_id,
+    * chunk_idx) struct per hash, hot-chunk safe (no window over the
+    * corpus). Output: (doc_id, n_chunks, n_dup_chunks, n_tokens_kept). */
+  def cdcChunkDedup(docs: DataFrame, mask: Long = 8L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val chunks = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cidx = 0L
+        var j = 0
+        while (j < t.length) {
+          cur += t(j)
+          val flag = j >= 2 &&
+            h60Jvm(t(j - 2) + " " + t(j - 1) + " " + t(j)) % mask == 0
+          if (flag) {
+            out += ((id, cidx, cur.length.toLong, cur.mkString(" ")))
+            cur.clear()
+            cidx += 1
+          }
+          j += 1
+        }
+        if (cur.nonEmpty) out += ((id, cidx, cur.length.toLong, cur.mkString(" ")))
+        out.iterator
+      }
+      .toDF("doc_id", "chunk_idx", "n_tok", "chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+        fingerprintCol(col("chunk")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val keepers = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    chunks.join(keepers, Seq("h"))
+      .withColumn("dup",
+        struct(col("doc_id"), col("chunk_idx")) =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), 0L).otherwise(col("n_tok"))).as("n_tokens_kept"))
+  }
+
   /** Deterministic per-language stratified sampling (the corpus-mixing
     * pass: downweight the over-represented language instead of random
     * sampling): keep a doc iff its salted md5 bucket (0..9999) falls under

@@ -197,6 +197,29 @@ class TextOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cdcChunkDedup: chunks reconstruct the token stream; a one-token prepend preserves most chunk matches where the fixed grid loses all") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val baseText = (0 until 200).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val docs = Seq((0L, baseText), (1L, "extra " + baseText)).toDF("doc_id", "text")
+    val cdc = TextOps.cdcChunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fixed = TextOps.chunkDedup(docs, chunk = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0 is the keeper side: no dups of its own
+    assert(cdc(0L)._2 == 0L)
+    val (cdcChunks, cdcDups) = cdc(1L)
+    val (fixChunks, fixDups) = fixed(1L)
+    info(s"one-token prepend: CDC $cdcDups/$cdcChunks chunks still dedup vs fixed-width $fixDups/$fixChunks")
+    // the fixed grid shifts every chunk → (near) zero matches; CDC
+    // boundaries resynchronize within ~mask tokens → most chunks match
+    assert(fixDups <= 1, s"fixed-width grid unexpectedly robust: $fixDups")
+    assert(cdcDups * 2 >= cdcChunks,
+      s"CDC lost edit robustness: only $cdcDups of $cdcChunks chunks matched")
+    spark.catalog.clearCache()
+  }
+
   test("modelQuality: weak-label distillation generalizes — held-out junk ranks below held-out clean") {
     import spark.implicits._
     // two vocabularies, random word sequences: odd ids are junk (1-char

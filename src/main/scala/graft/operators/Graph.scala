@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Edge-count ceiling for [[pageRank]]'s single-task fast path — the
+    * [[Dedup.LocalCcEdgeLimit]] sizing argument: 2M weighted edges is a
+    * few hundred MB of task state, far under executor memory, while the
+    * loop above it pays iters × per-round shuffle fixed cost. */
+  val LocalPrEdgeLimit = 2000000L
+
   /** PageRank (Page et al. 1999) in exact INTEGER micro-units — designed
     * so the cross-engine gate is a hash match, not a float truce: ranks
     * live in millionths (r₀ = 1 000 000 = 1.0), each edge contribution is
@@ -38,11 +44,22 @@ object Graph {
     * corpus-sized, because the corpus collapses to (src, dst, w) before
     * the loop starts.
     *
+    * HYBRID (the [[Dedup.connectedComponents]] fast-path discipline): a
+    * domain graph is usually tiny next to the corpus it came from (10⁵–10⁷
+    * hosts for a 10¹²-page crawl), and the distributed loop's per-round
+    * cost on a measured-small graph is pure shuffle fixed cost × iters. An
+    * edge table at or under `localEdgeLimit` rows therefore iterates in
+    * ONE task (identical integer math — GraphSpec pins fast == loop);
+    * larger graphs keep the distributed loop.
+    *
     * edges: (src, dst, w) — pre-aggregated, self-loops already dropped.
     * Returns (node, rank_u) for every node appearing as src or dst. */
   def pageRank(edges: DataFrame, iters: Int = 10,
-               dampNum: Long = 85L, jumpU: Long = 150000L): DataFrame = {
+               dampNum: Long = 85L, jumpU: Long = 150000L,
+               localEdgeLimit: Long = LocalPrEdgeLimit): DataFrame = {
     require(iters >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
@@ -50,6 +67,31 @@ object Graph {
     // edge table + out-weights materialized ONCE; the loop re-joins it
     // every round, so its lineage must not include the corpus scan
     val ew = edges.join(outW, Seq("src")).localCheckpoint(true)
+
+    if (ew.count() <= localEdgeLimit) {
+      val idType = edges.schema(edges.schema.fieldIndex("src")).dataType
+      val out = ew.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long"), col("wout").cast("long"))
+        .as[(Long, Long, Long, Long)].repartition(1)
+        .mapPartitions { it =>
+          val es = it.toArray
+          val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+          var r = ns.map(_ -> 1000000L).toMap
+          for (_ <- 1 to iters) {
+            val mass = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+            es.foreach { case (u, v, w, wout) =>
+              mass(v) += r(u) * dampNum * w / (100L * wout)
+            }
+            r = ns.map(n => n -> (jumpU + mass(n))).toMap
+          }
+          r.iterator
+        }
+        .toDF("node", "rank_u")
+        .select(col("node").cast(idType).as("node"), col("rank_u"))
+        .localCheckpoint(true)
+      ew.unpersist()
+      return out
+    }
     val nodesCk = nodes.localCheckpoint(true)
     var ranks = nodesCk.withColumn("rank_u", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iters) {

@@ -51,6 +51,11 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = refPageRank(edges, 10)
     assert(got == want, s"engine=$got\nreference=$want")
+    // hybrid contract: the forced distributed loop emits the identical map
+    val loop = Graph.pageRank(edges.toDF("src", "dst", "w"), iters = 10,
+        localEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == want, s"distributed loop diverged: $loop")
     // the dangling node's rank is jump + in-mass and total mass shrinks
     assert(got(24L) > 150000L)
     assert(got.values.sum < 25L * 1000000L)

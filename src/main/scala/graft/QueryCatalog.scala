@@ -619,6 +619,9 @@ object QueryCatalog {
     "stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir),
         rates = Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 1.0)),
+    // derandomized priority sampling: per-source top-50 by w/u priority —
+    // inclusion probability proportional to token mass, no RNG
+    "weighted_sample" -> ((s, dir) => TextOps.prioritySample(docs(s, dir), k = 50)),
 
     // DSIR importance scores against the source='src0' in-domain slice:
     // hashed-bigram 64-bucket target histogram, broadcast; one zero-shuffle
@@ -1534,6 +1537,21 @@ object QueryCatalog {
          | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          | CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE n_tok END) AS BIGINT) AS n_tokens_kept
          |FROM r GROUP BY 1""".stripMargin,
+
+    // priority sampling: same salted-hash u, same single IEEE division —
+    // u and w are integers < 2^31, so w/u is the identical correctly-
+    // rounded double on both engines and the ranking is bit-stable
+    "weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  len(string_split(text, ' ')) AS w FROM documents),
+         |u AS (SELECT doc_id, source, w,
+         |  (${h60sql("doc_id::VARCHAR || ':wsample'")} % 1073741824) + 1 AS u FROM t),
+         |r AS (SELECT doc_id, source, w,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY CAST(w AS DOUBLE) / u DESC, doc_id) AS rank
+         | FROM u)
+         |SELECT doc_id, source, CAST(w AS BIGINT) AS n_tokens, rank::INT AS rank
+         |FROM r WHERE rank <= 50""".stripMargin,
 
     "stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang, source,

@@ -411,6 +411,38 @@ object TextOps {
         sum(when(col("dup"), 0L).otherwise(col("n_tok"))).as("n_tokens_kept"))
   }
 
+  /** Weighted sampling without replacement — priority sampling (Duffield,
+    * Lund & Thorup 2007), derandomized: each doc draws u from its salted
+    * content hash (u ∈ [1, 2³⁰], never 0) and gets priority w/u with
+    * w = its token count; the k highest priorities per source are the
+    * sample. Inclusion probability grows ∝ w (a doc twice as long is
+    * ~twice as likely in), which is the curation use: sample documents
+    * proportional to their token mass instead of uniformly. Deterministic
+    * and append-stable like [[stratifiedSample]] — no RNG, identical
+    * sample on any engine (u and w are integers < 2³¹, so the one double
+    * division is the same correctly-rounded IEEE value everywhere; ties
+    * break by doc_id).
+    *
+    * Scale shape: u, w, and the priority are one codegen scan; the only
+    * shuffle is the per-source top-k window. The window's per-source
+    * partition is the operator's documented caveat (same as
+    * [[Search.bm25TopK]]'s per-qid window): corpora with few giant
+    * sources want the kNN-style salted two-level top-k.
+    * Output: (doc_id, source, n_tokens, rank), rank ≤ k. */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => WExpr}
+    val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("u",
+        pmod(fingerprintCol(concat(col("doc_id").cast("string"), lit(":wsample"))),
+          lit(1073741824L)) + 1)
+      .withColumn("pri", col("n_tokens").cast("double") / col("u"))
+    val w = WExpr.partitionBy(col("source")).orderBy(col("pri").desc, col("doc_id"))
+    base.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "source", "n_tokens", "rank")
+  }
+
   /** Deterministic per-language stratified sampling (the corpus-mixing
     * pass: downweight the over-represented language instead of random
     * sampling): keep a doc iff its salted md5 bucket (0..9999) falls under

@@ -220,6 +220,25 @@ class TextOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("prioritySample: inclusion tracks token mass, exact-k, deterministic") {
+    import spark.implicits._
+    // one source, 50 heavy docs (200 tokens) + 450 light (10 tokens):
+    // heavy docs hold 69% of the token mass, so priority sampling should
+    // give them ~0.69·k of the k=50 slots (uniform sampling would give 5)
+    val docs = (0L until 500L).map { i =>
+      val n = if (i < 50) 200 else 10
+      (i, "s", Seq.fill(n)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = TextOps.prioritySample(docs, 50).collect()
+    assert(got.length == 50)
+    assert(got.map(_.getInt(3)).sorted.toSeq == (1 to 50))
+    val heavy = got.count(_.getLong(0) < 50L)
+    info(s"heavy docs sampled: $heavy/50 (token-mass share 0.69, uniform would give ~5)")
+    assert(heavy >= 25, s"weighting lost: only $heavy heavy docs sampled")
+    val again = TextOps.prioritySample(docs, 50).collect().map(_.getLong(0)).toSet
+    assert(again == got.map(_.getLong(0)).toSet)
+  }
+
   test("modelQuality: weak-label distillation generalizes — held-out junk ranks below held-out clean") {
     import spark.implicits._
     // two vocabularies, random word sequences: odd ids are junk (1-char

@@ -78,6 +78,31 @@ object QueryCatalog {
       s"SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM r$iters"
   }
 
+  /** Unrolled cover-compaction oracle: per level, parents with all 4
+    * children present collapse; the chain runs res → minRes like the
+    * pagerank/bpe_train unrolled CTEs. */
+  private def cellCompactSql(res: Int, minRes: Int): String = {
+    val cover =
+      s"""pts AS (SELECT $sqlLat AS lat, $sqlLon AS lon FROM documents),
+         |rng AS (SELECT
+         |  ${sqlXIndex("(lon - 2.0)", res)} AS x0, ${sqlXIndex("(lon + 2.0)", res)} AS x1,
+         |  ${sqlYIndex("(lat + 2.0)", res)} AS y0, ${sqlYIndex("(lat - 2.0)", res)} AS y1
+         | FROM pts),
+         |cand AS (SELECT x0 + xs.d AS xi, y0 + ys.d AS yi, x1, y1
+         | FROM rng, range(0, 16) xs(d), range(0, 16) ys(d)
+         | WHERE x0 + xs.d <= x1 AND y0 + ys.d <= y1),
+         |l$res AS (SELECT DISTINCT ${sqlInterleave("xi", "yi", res)} AS cell FROM cand)""".stripMargin
+    val levels = (res until minRes by -1).map { r =>
+      s"""c$r AS (SELECT cell // 4 AS parent, count(*) AS n FROM l$r GROUP BY 1),
+         |k$r AS (SELECT l.cell, $r AS res FROM l$r l
+         |  JOIN c$r c ON l.cell // 4 = c.parent WHERE c.n < 4),
+         |l${r - 1} AS (SELECT parent AS cell FROM c$r WHERE n = 4)""".stripMargin
+    }
+    val unions = (res until minRes by -1).map(r => s"SELECT cell, res FROM k$r") :+
+      s"SELECT cell, $minRes AS res FROM l$minRes"
+    s"WITH $cover,\n${levels.mkString(",\n")}\n${unions.mkString("\nUNION ALL ")}"
+  }
+
   /** Top-k first-iteration merges for [[TextOps.bpeEncode]], in rank order
     * (n DESC, pair — the bpePairCounts cut). The collect is bounded by k
     * (a merges table is vocab-sized by contract, like the IVF codebook);
@@ -273,6 +298,16 @@ object QueryCatalog {
       PagesTiling.tileCells(s, meta,
           PagesTiling.TilingConfig(cellRes = 16))
         .select(col("i"), col("j"), col("cell"))
+    }),
+
+    // canonical cover compaction (H3 compactCells / S2 Normalize): the
+    // union of 4°×4° per-doc covers at res 8, complete sibling quads
+    // collapsed to parents down to res 4 — area-exact, minimal
+    "cell_compact" -> ((s, dir) => {
+      val cov = docs(s, dir).select(explode(CellFunctions.cell_cover(
+        dLat - lit(2.0), dLon - lit(2.0), dLat + lit(2.0), dLon + lit(2.0),
+        lit(8))).as("cell"))
+      CellOps.compactCells(cov, res = 8, minRes = 4)
     }),
 
     "kring" -> ((s, dir) =>
@@ -2518,6 +2553,8 @@ object QueryCatalog {
          | CAST(FLOOR((($F + 88 * ($E)) + 112 * ($E)) * 1000000.0) AS BIGINT),
          | CAST(FLOOR((($C + 355 * $A) + 45 * $A) * 1000000.0) AS BIGINT),
          | CAST(FLOOR((($F + 88 * ($E)) + 62 * ($E)) * 1000000.0) AS BIGINT)""".stripMargin,
+
+    "cell_compact" -> cellCompactSql(8, 4),
 
     "cell_cover" -> {
       val res = 16

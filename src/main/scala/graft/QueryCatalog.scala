@@ -420,6 +420,18 @@ object QueryCatalog {
       Similarity.cosinePairs(v, tau = 0.2, dim = 64)
         .select(col("vec_a"), col("vec_b"), fp6(col("cos")).as("cos_fp"))
     }),
+    // semantic decontamination: the embedding-space sibling of the n-gram
+    // decontaminate — training vectors within cosine 0.2 of the eval slice
+    // (vec_id % 11 == 0), eval band rows broadcast, corpus buckets capped
+    "decontaminate_semantic" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val evalSet = all.where(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding"))
+      val corpus = all.where(col("vec_id") % 11 =!= 0)
+      Similarity.crossCosinePairs(corpus, evalSet, tau = 0.2, dim = 64)
+        .select(col("vec_id"), col("eval_id"), fp6(col("cos")).as("cos_fp"))
+    }),
+
     // perceptual image near-dup dedup: REAL PNG decode → 60-bit dHash
     // (11×6 nearest-sampled gray grid, horizontal gradient bits) → the
     // generic quarter-split hamming pair machinery (Dedup.hammingPairs).
@@ -2148,6 +2160,41 @@ object QueryCatalog {
          | SELECT c.vec_a, c.vec_b, x.e AS xe, y.e AS ye
          | FROM cand c JOIN v x ON x.vec_id = c.vec_a JOIN v y ON y.vec_id = c.vec_b)
          |SELECT vec_a, vec_b,
+         | CAST(FLOOR(${sqlCosineXY}*1000000.0) AS BIGINT) AS cos_fp
+         |FROM p WHERE $sqlCosineXY >= 0.2""".stripMargin
+    },
+
+    "decontaminate_semantic" -> {
+      // same hyperplane literals and corpus-side cap as dedup_embedding,
+      // bipartite: corpus buckets join the (small) eval band rows
+      val nBands = 6; val width = 4
+      def keyExpr(b: Int) = (0 until width).map { i =>
+        val dir = Similarity.direction(100 + b * width + i, 64).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, $dir::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val sigCols = (0 until nBands).map(b => s"${keyExpr(b)} AS k$b").mkString(",\n  ")
+      def bandUnion(src: String, idCol: String) = (0 until nBands)
+        .map(b => s"SELECT $idCol, $b AS band, k$b AS key FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |tr AS (SELECT * FROM v WHERE vec_id % 11 <> 0),
+         |ev AS (SELECT vec_id AS eval_id, e FROM v WHERE vec_id % 11 = 0),
+         |tsig AS (SELECT vec_id, $sigCols FROM tr),
+         |esig AS (SELECT eval_id, $sigCols FROM ev),
+         |tbt AS (${bandUnion("tsig", "vec_id")}),
+         |ebt AS (${bandUnion("esig", "eval_id")}),
+         |tblk AS (
+         | SELECT vec_id, band, key FROM (
+         |  SELECT vec_id, band, key, count(*) OVER (PARTITION BY band, key) AS df
+         |  FROM tbt) WHERE df <= ${Similarity.BandBucketCap}),
+         |cand AS (
+         | SELECT DISTINCT t.vec_id, e.eval_id
+         | FROM tblk t JOIN ebt e ON t.band = e.band AND t.key = e.key),
+         |p AS (
+         | SELECT c.vec_id, c.eval_id, x.e AS xe, y.e AS ye
+         | FROM cand c JOIN tr x ON x.vec_id = c.vec_id
+         |  JOIN ev y ON y.eval_id = c.eval_id)
+         |SELECT vec_id, eval_id,
          | CAST(FLOOR(${sqlCosineXY}*1000000.0) AS BIGINT) AS cos_fp
          |FROM p WHERE $sqlCosineXY >= 0.2""".stripMargin
     },

@@ -385,6 +385,78 @@ object Similarity {
     * DuckDB oracle). Never binds on the fixtures (max bucket ≈ N/2^width). */
   val BandBucketCap = 1024
 
+  /** The sign-LSH band keys of `embedding` — shared by the self-join
+    * ([[cosinePairs]]) and bipartite ([[crossCosinePairs]]) forms so both
+    * block with the SAME hyperplanes (direction ids 100 + b·width + i,
+    * the literals the oracles embed). */
+  private def bandKeyCols(dim: Int, width: Int, effBands: Int): Seq[Column] =
+    (0 until effBands).map { b =>
+      (0 until width).map { i =>
+        val dir = direction(100 + b * width + i, dim)
+        when(graft.functions.VectorOps.dot(col("embedding"),
+          array(dir.map(lit(_)): _*)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"k$b")
+    }
+
+  /** Bipartite near-neighbor pairs at cosine ≥ τ between a large `corpus`
+    * and a SMALL `evalSet` — semantic decontamination (the embedding-space
+    * sibling of the n-gram [[TextOps.decontaminate]]): flag every training
+    * vector whose embedding sits within τ of an eval-set embedding, the
+    * leakage the n-gram pass misses when the text was paraphrased.
+    *
+    * Scale shape: both sides get the SAME sign-LSH band keys; the eval
+    * side is small by contract (an eval suite, not a corpus) so its band
+    * rows BROADCAST, and the corpus side pays one scan + the hot-bucket
+    * cap — candidate count is bounded by Σ |corpus bucket| × |eval
+    * bucket| with the corpus buckets capped, never an all-pairs compare.
+    * Exact cosine verifies candidates, so the cap is the only recall
+    * trade (same as [[cosinePairs]], mirrored in the oracle).
+    * corpus: (vec_id, embedding); evalSet: (eval_id, embedding).
+    * Returns (vec_id, eval_id, cos). */
+  def crossCosinePairs(corpus: DataFrame, evalSet: DataFrame, tau: Double,
+                       dim: Int, nPlanes: Int = 24, nBands: Int = 6,
+                       bucketCap: Int = BandBucketCap,
+                       hotKeyRowLimit: Long = Dedup.HotKeyWindowRowLimit): DataFrame = {
+    val effBands = (nBands to 1 by -1).find(nPlanes % _ == 0).getOrElse(1)
+    val width = nPlanes / effBands
+    val keyCols = bandKeyCols(dim, width, effBands)
+    val tSig = corpus.select(col("vec_id") +: keyCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val tRows = (0 until effBands).map(b =>
+        tSig.select(col("vec_id"), lit(b).as("band"), col(s"k$b").as("key")))
+      .reduce(_ unionByName _)
+    // corpus-side hot-bucket cap — the cosinePairs window/probe pattern
+    val pw = WExpr.partitionBy(col("band"), col("key"))
+    val probeNeeded = hotKeyRowLimit != Long.MaxValue &&
+      effBands.toLong * corpus.count() > hotKeyRowLimit
+    val blk =
+      (if (probeNeeded && approxMaxBucketRows(tRows) > hotKeyRowLimit) {
+        val hot = tRows.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("df")).where(col("df") > bucketCap)
+          .select("band", "key")
+        Dedup.antiJoinHotKeys(tRows, hot, Seq("band", "key"))
+      } else
+        tRows.withColumn("df", count(lit(1)).over(pw))
+          .where(col("df") <= bucketCap).drop("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // eval side is small by contract: no cap, no persist (effBands re-scans
+    // of an eval-suite-sized frame are noise next to the corpus scan)
+    val eSig = evalSet.select(col("eval_id") +: keyCols: _*)
+    val eRows = (0 until effBands).map(b =>
+        eSig.select(col("eval_id"), lit(b).as("band"), col(s"k$b").as("key")))
+      .reduce(_ unionByName _)
+    val cand = blk.join(broadcast(eRows), Seq("band", "key"))
+      .select("vec_id", "eval_id").distinct()
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding").as("emb_t")), Seq("vec_id"))
+      .join(broadcast(evalSet.select(col("eval_id"), col("embedding").as("emb_e"))),
+        Seq("eval_id"))
+      .withColumn("cos", cosine(col("emb_t"), col("emb_e")))
+      .where(col("cos") >= tau)
+      .select("vec_id", "eval_id", "cos")
+  }
+
   /** Embedding near-dup pairs at cosine ≥ τ — banded sign-LSH (classic
     * OR-of-bands): `nPlanes` hyperplanes split into `nBands` bands of
     * nPlanes/nBands sign bits; a pair is a candidate iff SOME band key
@@ -404,14 +476,7 @@ object Similarity {
     // correctness contract, so degrading it beats breaking the signature
     val effBands = (nBands to 1 by -1).find(nPlanes % _ == 0).getOrElse(1)
     val width = nPlanes / effBands
-    val keyCols = (0 until effBands).map { b =>
-      (0 until width).map { i =>
-        val dir = direction(100 + b * width + i, dim)
-        when(graft.functions.VectorOps.dot(col("embedding"),
-          array(dir.map(lit(_)): _*)) >= 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"k$b")
-    }
+    val keyCols = bandKeyCols(dim, width, effBands)
     // persist: the band projections below would otherwise re-scan the
     // vectors table (and re-evaluate that band's sign dots) once per band
     // — at 100 TB that is nBands passes over the embedding column

@@ -72,4 +72,23 @@ class EmbeddingPlantedSpec extends AnyFunSuite {
       bucketCap = Int.MaxValue)
     assert(uncapped.count() === 60L * 59L / 2L)
   }
+
+  test("crossCosinePairs finds every planted paraphrase of an eval vector (semantic decontamination)") {
+    import spark.implicits._
+    // eval set: 10 vectors; corpus: 300 random + a perturbed copy of each
+    // eval vector (the paraphrased-leak case n-gram decontamination misses)
+    val evalSet = (0L until 10L).map(k => (k, vec(1000L + k)))
+      .toDF("eval_id", "embedding")
+    val corpus = ((0L until 300L).map(k => (2000L + k, vec(k))) ++
+      (0L until 10L).map(k => (3000L + k, nearDup(vec(1000L + k), salt = k))))
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.crossCosinePairs(corpus, evalSet, tau = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { k =>
+      assert(hits.contains((3000L + k, k)), s"planted leak of eval $k not found")
+    }
+    // no random vector should sit at cosine >= 0.9 of an eval vector
+    assert(hits.forall(_._1 >= 3000L), s"false positives: $hits")
+    spark.catalog.clearCache()
+  }
 }

@@ -78,6 +78,32 @@ object QueryCatalog {
       s"SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM r$iters"
   }
 
+  /** Convex-fill oracle: the identical bbox index bounds (computed by the
+    * same driver arithmetic), the identical half-plane trees over cell
+    * CENTERS, and a direct xi/yi interleave where the engine re-encodes
+    * the center through cell_id — equal because a center sits 0.5 index
+    * units from every floor boundary. */
+  private def polygonFillSql(res: Int): String = {
+    import graft.core.CellIndex
+    val lons = pipPentagon.map(_._1); val lats = pipPentagon.map(_._2)
+    val x0 = CellIndex.xIndex(lons.min, res); val x1 = CellIndex.xIndex(lons.max, res)
+    val y0 = CellIndex.yIndex(lats.max, res); val y1 = CellIndex.yIndex(lats.min, res)
+    val w = x1 - x0 + 1; val h = y1 - y0 + 1
+    val n = (1L << res).toDouble
+    val ring = pipPentagon :+ pipPentagon.head
+    val conds = ring.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+      s"((($bx) - ($ax)) * (latc - ($ay)) - (($by) - ($ay)) * (lonc - ($ax))) > 0.0"
+    }.mkString("\n   AND ")
+    s"""WITH g AS (SELECT $x0 + (i.i % $w) AS xi, $y0 + (i.i // $w) AS yi
+       | FROM range(0, ${w * h}) i(i)),
+       |c AS (SELECT xi, yi,
+       |  (CAST(xi AS DOUBLE) + 0.5) / $n * 360.0 - 180.0 AS lonc,
+       |  90.0 - (CAST(yi AS DOUBLE) + 0.5) / $n * 180.0 AS latc FROM g),
+       |f AS (SELECT xi, yi FROM c
+       | WHERE $conds)
+       |SELECT ${sqlInterleave("xi", "yi", res)} AS cell FROM f""".stripMargin
+  }
+
   /** Unrolled cover-compaction oracle: per level, parents with all 4
     * children present collapse; the chain runs res → minRes like the
     * pagerank/bpe_train unrolled CTEs. */
@@ -299,6 +325,11 @@ object QueryCatalog {
           PagesTiling.TilingConfig(cellRes = 16))
         .select(col("i"), col("j"), col("cell"))
     }),
+
+    // convex polygon → cell fill (H3 polygonToCells, center-containment
+    // rule): bbox grid enumerated as one distributed range, half-plane
+    // inside test, centers re-encoded through the cell_id codegen path
+    "polygon_fill" -> ((s, _) => CellOps.convexFill(s, pipPentagon, res = 6)),
 
     // canonical cover compaction (H3 compactCells / S2 Normalize): the
     // union of 4°×4° per-doc covers at res 8, complete sibling quads
@@ -2602,6 +2633,8 @@ object QueryCatalog {
          | CAST(FLOOR((($F + 88 * ($E)) + 62 * ($E)) * 1000000.0) AS BIGINT)""".stripMargin,
 
     "cell_compact" -> cellCompactSql(8, 4),
+
+    "polygon_fill" -> polygonFillSql(6),
 
     "cell_cover" -> {
       val res = 16

@@ -46,4 +46,38 @@ class CellOpsSpec extends AnyFunSuite {
     // compaction did real work on the blob
     assert(got.length < input.size)
   }
+
+  test("convexFill: agrees with JTS center containment; fills ~the polygon's area") {
+    val poly = Seq((-100.123, -40.234), (40.567, -55.111), (120.789, 10.456),
+      (10.321, 70.654), (-140.987, 30.999))
+    val res = 6
+    val got = CellOps.convexFill(spark, poly, res).collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    // independent check: JTS containment of every bbox-grid cell center
+    // (robust predicates — a different implementation family than the
+    // half-plane columns)
+    val jts = graft.core.Geom.polygon(poly)
+    val n = (1L << res).toDouble
+    val lons = poly.map(_._1); val lats = poly.map(_._2)
+    val x0 = CellIndex.xIndex(lons.min, res); val x1 = CellIndex.xIndex(lons.max, res)
+    val y0 = CellIndex.yIndex(lats.max, res); val y1 = CellIndex.yIndex(lats.min, res)
+    val want = (for {
+      xi <- x0 to x1
+      yi <- y0 to y1
+      lonC = (xi + 0.5) / n * 360.0 - 180.0
+      latC = 90.0 - (yi + 0.5) / n * 180.0
+      if jts.contains(graft.core.Geom.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(lonC, latC)))
+    } yield CellIndex.encode(xi, yi)).toSet
+    assert(got == want, s"fill disagrees with JTS: extra=${got -- want}, missing=${want -- got}")
+    // area sanity: filled-cell area within 15% of the shoelace area
+    val ring = poly :+ poly.head
+    val shoelace = math.abs(ring.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+      ax * by - bx * ay
+    }.sum / 2.0)
+    val cellArea = (360.0 / (1L << res)) * (180.0 / (1L << res))
+    val filled = got.size * cellArea
+    assert(math.abs(filled - shoelace) / shoelace < 0.15,
+      s"filled area $filled vs polygon area $shoelace")
+  }
 }

@@ -700,6 +700,9 @@ object QueryCatalog {
     // derandomized priority sampling: per-source top-50 by w/u priority —
     // inclusion probability proportional to token mass, no RNG
     "weighted_sample" -> ((s, dir) => TextOps.prioritySample(docs(s, dir), k = 50)),
+    // distribution-shift monitor: per-source chi-square vs the global
+    // hashed token-bucket histogram, integer micro-units (log-free)
+    "token_drift" -> ((s, dir) => TextOps.tokenDrift(docs(s, dir))),
 
     // DSIR importance scores against the source='src0' in-domain slice:
     // hashed-bigram 64-bucket target histogram, broadcast; one zero-shuffle
@@ -1615,6 +1618,33 @@ object QueryCatalog {
          | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          | CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE n_tok END) AS BIGINT) AS n_tokens_kept
          |FROM r GROUP BY 1""".stripMargin,
+
+    // chi-square drift: identical IEEE tree per (source, bucket) term —
+    // the integer count/total divisions, the scientific-notation epsilon
+    // (a DOUBLE literal on both engines; a long decimal literal would be
+    // DECIMAL-typed in DuckDB), and the per-bucket floor BEFORE the sum
+    "token_drift" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |sb AS (SELECT source, ${h60sql("tok")} % 64 AS bucket, count(*) AS n_sb
+         | FROM tok GROUP BY 1, 2),
+         |g AS (SELECT bucket, SUM(n_sb) AS n_gb FROM sb GROUP BY 1),
+         |t AS (SELECT source, SUM(n_sb) AS n_s FROM sb GROUP BY 1),
+         |gt AS (SELECT SUM(n_gb) AS n_g FROM g),
+         |grid AS (SELECT t.source, t.n_s, b.b AS bucket FROM t, range(0, 64) b(b)),
+         |j AS (SELECT grid.source, grid.n_s, grid.bucket,
+         |  COALESCE(sb.n_sb, 0) AS n_sb, COALESCE(g.n_gb, 0) AS n_gb, gt.n_g
+         | FROM grid LEFT JOIN sb ON sb.source = grid.source AND sb.bucket = grid.bucket
+         |  LEFT JOIN g ON g.bucket = grid.bucket
+         |  CROSS JOIN gt),
+         |d AS (SELECT source, n_s,
+         |  CAST(FLOOR((CAST(n_sb AS DOUBLE) / n_s - CAST(n_gb AS DOUBLE) / n_g)
+         |     * (CAST(n_sb AS DOUBLE) / n_s - CAST(n_gb AS DOUBLE) / n_g)
+         |     / (CAST(n_gb AS DOUBLE) / n_g + CAST(1e-09 AS DOUBLE))
+         |     * 1000000.0) AS BIGINT) AS term
+         | FROM j)
+         |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+         | CAST(SUM(term) AS BIGINT) AS drift_u
+         |FROM d GROUP BY 1""".stripMargin,
 
     // priority sampling: same salted-hash u, same single IEEE division —
     // u and w are integers < 2^31, so w/u is the identical correctly-

@@ -411,6 +411,56 @@ object TextOps {
         sum(when(col("dup"), 0L).otherwise(col("n_tok"))).as("n_tokens_kept"))
   }
 
+  /** Corpus drift monitor: chi-square divergence of each source's hashed
+    * token-bucket distribution against the corpus-global one — the
+    * snapshot-over-snapshot distribution-shift check a crawl pipeline
+    * runs before mixing a new source in (the PSI/KL family; chi-square is
+    * the log-free member, which is what keeps the cross-engine gate an
+    * exact hash match).
+    *
+    *   drift_u(s) = Σ_b floor( ((p_sb − p_gb)² / (p_gb + 1e-9)) · 1e6 )
+    *
+    * with p from integer counts (count/total division of ints < 2⁵³ is
+    * one correctly-rounded IEEE op — identical everywhere), per-bucket
+    * values floored BEFORE the sum, and the bucket grid DENSE (a source
+    * missing bucket b still pays its (0 − p_gb)² term — the grid is
+    * |sources| × nBuckets rows from a deliberate tiny cross join, never
+    * corpus-sized).
+    *
+    * Scale shape: ONE map-side-combined (source, bucket) count over the
+    * exploded tokens (output ≤ |sources|·nBuckets rows), a broadcast of
+    * the nBuckets-row global table, zero further corpus passes.
+    * Output: (source, n_tokens, drift_u). */
+  def tokenDrift(docs: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val sb = tok.select(col("source"),
+        pmod(fingerprintCol(col("tok")), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n_sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val g = sb.groupBy("bucket").agg(sum("n_sb").as("n_gb"))
+    val totals = sb.groupBy("source").agg(sum("n_sb").as("n_s"))
+    val gTotal = g.agg(sum("n_gb").as("n_g"))
+    // dense |sources| × nBuckets grid: a deliberate tiny cross join (the
+    // nested-loop is over dimension tables, never the corpus)
+    val grid = totals.crossJoin(
+      spark.range(nBuckets).select(col("id").as("bucket")))
+    val ps = col("n_sb_f").cast("double") / col("n_s")
+    val pg = col("n_gb_f").cast("double") / col("n_g")
+    val term = floor((ps - pg) * (ps - pg) / (pg + lit(1.0e-9)) * lit(1000000.0))
+      .cast("long")
+    grid
+      .join(sb, Seq("source", "bucket"), "left")
+      .join(broadcast(g), Seq("bucket"), "left")
+      .crossJoin(broadcast(gTotal))
+      .withColumn("n_sb_f", coalesce(col("n_sb"), lit(0L)))
+      .withColumn("n_gb_f", coalesce(col("n_gb"), lit(0L)))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), sum(term).as("drift_u"))
+      .select(col("source"), col("n_tokens"), col("drift_u"))
+  }
+
   /** Weighted sampling without replacement — priority sampling (Duffield,
     * Lund & Thorup 2007), derandomized: each doc draws u from its salted
     * content hash (u ∈ [1, 2³⁰], never 0) and gets priority w/u with

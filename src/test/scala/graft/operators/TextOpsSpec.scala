@@ -220,6 +220,31 @@ class TextOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("tokenDrift: a vocabulary-shifted source reads far above aligned sources") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val shared = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val shifted = Vector("omega", "psi", "chi", "phi", "ups", "tau")
+    val docs = (0L until 90L).map { i =>
+      val src = s"s${i % 3}"
+      val vocab = if (i % 3 == 2) shifted else shared
+      (i, src, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = TextOps.tokenDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    info(s"drift_u: $got")
+    // s0/s1 share a vocabulary; s2 is disjoint. The global histogram
+    // itself contains s2's third of the mass, so aligned sources still
+    // read Σ_shifted p_gb ≈ 1/3 (measured ~0.42M µ-units) while the
+    // shifted one reads ≈ 2/3 + 4/3 (measured ~1.66M) — the expected
+    // chi-square ratio is ~4×, and that is what separation means here
+    assert(got("s2") > 3L * math.max(got("s0"), got("s1")),
+      s"shifted source not separated: $got")
+    assert(got("s0") < 2L * got("s1") && got("s1") < 2L * got("s0"),
+      s"aligned sources should read alike: $got")
+    spark.catalog.clearCache()
+  }
+
   test("prioritySample: inclusion tracks token mass, exact-k, deterministic") {
     import spark.implicits._
     // one source, 50 heavy docs (200 tokens) + 450 light (10 tokens):

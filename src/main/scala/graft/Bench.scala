@@ -121,7 +121,7 @@ object Bench {
       "retention_cohorts", "funnel", "ngram_novelty",
       "ivfpq_topk", "image_dedup", "model_quality", "audio_dedup", "domain_pagerank",
       "cdc_chunk_dedup", "weighted_sample", "cell_compact", "decontaminate_semantic",
-      "polygon_fill", "token_drift")
+      "polygon_fill", "token_drift", "cell_pyramid")
     // min-of-N per query: this host's CPU-steal bursts inflate single-shot
     // walls by up to 10× (BENCH/BASELINE.md), and one burst used to taint a
     // whole round's recorded artifact. Two samples spaced a full catalog

@@ -326,6 +326,23 @@ object QueryCatalog {
         .select(col("i"), col("j"), col("cell"))
     }),
 
+    // multi-resolution density pyramid (the web-map tile-pyramid build):
+    // res-8 point counts rolled up level by level — each level aggregates
+    // the PREVIOUS level's ≤4^r rows, so total work is geometric in the
+    // base table, and the corpus is scanned exactly once
+    "cell_pyramid" -> ((s, dir) => {
+      var cur = docs(s, dir)
+        .select(CellFunctions.cell_id(dLat, dLon, lit(8)).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      var out = cur.withColumn("res", lit(8))
+      for (r <- 7 to 4 by -1) {
+        cur = cur.select(shiftright(col("cell"), 2).as("cell"), col("n"))
+          .groupBy("cell").agg(sum("n").as("n"))
+        out = out.unionByName(cur.withColumn("res", lit(r)))
+      }
+      out.select("res", "cell", "n")
+    }),
+
     // convex polygon → cell fill (H3 polygonToCells, center-containment
     // rule): bbox grid enumerated as one distributed range, half-plane
     // inside test, centers re-encoded through the cell_id codegen path
@@ -2665,6 +2682,23 @@ object QueryCatalog {
     "cell_compact" -> cellCompactSql(8, 4),
 
     "polygon_fill" -> polygonFillSql(6),
+
+    // pyramid rollup: res-8 counts from the same x/y-index interleave the
+    // cell_id oracle uses, then `cell // 4` parent sums per level
+    "cell_pyramid" -> {
+      val rollups = (7 to 4 by -1).map(r =>
+        s"l$r AS (SELECT cell // 4 AS cell, SUM(n) AS n FROM l${r + 1} GROUP BY 1)")
+        .mkString(",\n")
+      val unions = (8 to 4 by -1).map(r =>
+        s"SELECT $r AS res, cell, CAST(n AS BIGINT) AS n FROM l$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH p AS (SELECT ${sqlXIndex(sqlLon, 8)} AS xi, ${sqlYIndex(sqlLat, 8)} AS yi
+         | FROM documents),
+         |l8 AS (SELECT ${sqlInterleave("xi", "yi", 8)} AS cell, count(*) AS n
+         | FROM p GROUP BY 1),
+         |$rollups
+         |$unions""".stripMargin
+    },
 
     "cell_cover" -> {
       val res = 16

@@ -47,6 +47,19 @@ class CellOpsSpec extends AnyFunSuite {
     assert(got.length < input.size)
   }
 
+  test("cell_pyramid: every level conserves total mass; parents sum their children") {
+    val got = graft.QueryCatalog.queries("cell_pyramid")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byRes = got.groupBy(_._1._1)
+    val totals = byRes.view.mapValues(_.values.sum).toMap
+    assert(totals.values.toSet.size == 1, s"mass not conserved across levels: $totals")
+    // parent count = sum of its children, for every non-base level
+    for (r <- 4 to 7; ((rr, cell), n) <- got if rr == r) {
+      val kids = (0L until 4L).map(k => got.getOrElse((r + 1, (cell << 2) | k), 0L)).sum
+      assert(kids == n, s"parent ($r, $cell) = $n but children sum $kids")
+    }
+  }
+
   test("convexFill: agrees with JTS center containment; fills ~the polygon's area") {
     val poly = Seq((-100.123, -40.234), (40.567, -55.111), (120.789, 10.456),
       (10.321, 70.654), (-140.987, 30.999))

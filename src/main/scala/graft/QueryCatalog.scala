@@ -83,6 +83,72 @@ object QueryCatalog {
     * CENTERS, and a direct xi/yi interleave where the engine re-encodes
     * the center through cell_id — equal because a center sits 0.5 index
     * units from every floor boundary. */
+  /** Shared IVFADC oracle CTE chain (coarse assign, residual encode,
+    * ADC lut with the sub-0 |r_q|² bias, scored + ranked as `rk`) — the
+    * ivfpq_topk and ivfpq_rerank oracles both build on it. */
+  private val ivfpqCoreCtes: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS d, e
+         | FROM v ORDER BY vec_id LIMIT 16),
+         |ad AS (
+         | SELECT v.vec_id, c.d,
+         |  list_dot_product(v.e, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
+         | FROM v, cent c),
+         |assign AS (
+         | SELECT vec_id, d AS bucket FROM (
+         |  SELECT vec_id, d, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, d) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |resid AS (
+         | SELECT v.vec_id, a.bucket,
+         |  list_transform(list_zip(v.e, c.e), p -> p[1] - p[2]) AS r
+         | FROM v JOIN assign a ON a.vec_id = v.vec_id JOIN cent c ON c.d = a.bucket),
+         |cb AS (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, r
+         | FROM resid ORDER BY vec_id LIMIT 256),
+         |subs AS (SELECT CAST(s.range AS INT) AS sub FROM range(0, 8) s),
+         |csub AS (SELECT subs.sub, cb.j,
+         |  list_slice(cb.r, subs.sub*8 + 1, (subs.sub+1)*8) AS ce
+         | FROM cb CROSS JOIN subs),
+         |scoredv AS (SELECT t.vec_id, cs.sub, cs.j,
+         |  list_dot_product(list_slice(t.r, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
+         |    - list_dot_product(cs.ce, cs.ce) AS score
+         | FROM resid t CROSS JOIN csub cs),
+         |enc AS (SELECT vec_id, sub, j AS code FROM (
+         |  SELECT vec_id, sub, j, row_number() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY score DESC, j) AS rn
+         |  FROM scoredv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |qd AS (
+         | SELECT q.qid, c.d,
+         |  list_dot_product(q.qe, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
+         | FROM q, cent c),
+         |qprobe AS (
+         | SELECT qid, d AS bucket FROM (
+         |  SELECT qid, d, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, d DESC) AS rn
+         |  FROM qd) WHERE rn <= 4),
+         |qres AS (
+         | SELECT p.qid, p.bucket,
+         |  list_transform(list_zip(q.qe, c.e), pp -> pp[1] - pp[2]) AS rq
+         | FROM qprobe p JOIN q ON q.qid = p.qid JOIN cent c ON c.d = p.bucket),
+         |lut AS (SELECT t.qid, t.bucket, cs.sub, cs.j AS code,
+         |  CAST(floor((list_dot_product(cs.ce, cs.ce)
+         |      - list_dot_product(list_slice(t.rq, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
+         |    ) * 1000000.0) AS BIGINT)
+         |  + CASE WHEN cs.sub = 0
+         |      THEN CAST(floor(list_dot_product(t.rq, t.rq) * 1000000.0) AS BIGINT)
+         |      ELSE 0 END AS lut_u
+         | FROM qres t CROSS JOIN csub cs),
+         |sc AS (SELECT l.qid, a.vec_id, CAST(sum(l.lut_u) AS BIGINT) AS dist_u
+         | FROM assign a
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN lut l ON l.bucket = a.bucket AND l.sub = e.sub AND l.code = e.code
+         | WHERE a.vec_id <> l.qid
+         | GROUP BY 1, 2),
+         |rk AS (SELECT qid, vec_id, dist_u,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist_u, vec_id) AS rank
+         | FROM sc)""".stripMargin
+
   private def polygonFillSql(res: Int): String = {
     import graft.core.CellIndex
     val lons = pipPentagon.map(_._1); val lats = pipPentagon.map(_._2)
@@ -544,6 +610,15 @@ object QueryCatalog {
       val q = emb(s, dir).where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfpqTopK(v, q, k = 10)
+    }),
+    // two-stage retrieve: the top 4k ADC candidates re-scored with EXACT
+    // squared L2 from the uncompressed vectors (broadcast candidate list →
+    // one semi-joined scan), the standard IVFADC refine stage
+    "ivfpq_rerank" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfpqRerank(v, q, k = 10, kPrime = 40)
     }),
 
     // ---- link-graph analytics ---------------------------------------------
@@ -2341,68 +2416,27 @@ object QueryCatalog {
     // sub-0 bias — every float op is the identical IEEE tree, every score
     // floored to micro-units before the sum
     "ivfpq_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |cent AS (
-         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS d, e
-         | FROM v ORDER BY vec_id LIMIT 16),
-         |ad AS (
-         | SELECT v.vec_id, c.d,
-         |  list_dot_product(v.e, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
-         | FROM v, cent c),
-         |assign AS (
-         | SELECT vec_id, d AS bucket FROM (
-         |  SELECT vec_id, d, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, d) AS rn
-         |  FROM ad) WHERE rn = 1),
-         |resid AS (
-         | SELECT v.vec_id, a.bucket,
-         |  list_transform(list_zip(v.e, c.e), p -> p[1] - p[2]) AS r
-         | FROM v JOIN assign a ON a.vec_id = v.vec_id JOIN cent c ON c.d = a.bucket),
-         |cb AS (
-         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, r
-         | FROM resid ORDER BY vec_id LIMIT 256),
-         |subs AS (SELECT CAST(s.range AS INT) AS sub FROM range(0, 8) s),
-         |csub AS (SELECT subs.sub, cb.j,
-         |  list_slice(cb.r, subs.sub*8 + 1, (subs.sub+1)*8) AS ce
-         | FROM cb CROSS JOIN subs),
-         |scoredv AS (SELECT t.vec_id, cs.sub, cs.j,
-         |  list_dot_product(list_slice(t.r, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
-         |    - list_dot_product(cs.ce, cs.ce) AS score
-         | FROM resid t CROSS JOIN csub cs),
-         |enc AS (SELECT vec_id, sub, j AS code FROM (
-         |  SELECT vec_id, sub, j, row_number() OVER (
-         |    PARTITION BY vec_id, sub ORDER BY score DESC, j) AS rn
-         |  FROM scoredv) WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-         |qd AS (
-         | SELECT q.qid, c.d,
-         |  list_dot_product(q.qe, c.e) / sqrt(list_dot_product(c.e, c.e)) AS dot
-         | FROM q, cent c),
-         |qprobe AS (
-         | SELECT qid, d AS bucket FROM (
-         |  SELECT qid, d, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, d DESC) AS rn
-         |  FROM qd) WHERE rn <= 4),
-         |qres AS (
-         | SELECT p.qid, p.bucket,
-         |  list_transform(list_zip(q.qe, c.e), pp -> pp[1] - pp[2]) AS rq
-         | FROM qprobe p JOIN q ON q.qid = p.qid JOIN cent c ON c.d = p.bucket),
-         |lut AS (SELECT t.qid, t.bucket, cs.sub, cs.j AS code,
-         |  CAST(floor((list_dot_product(cs.ce, cs.ce)
-         |      - list_dot_product(list_slice(t.rq, cs.sub*8 + 1, (cs.sub+1)*8), cs.ce) * 2.0
-         |    ) * 1000000.0) AS BIGINT)
-         |  + CASE WHEN cs.sub = 0
-         |      THEN CAST(floor(list_dot_product(t.rq, t.rq) * 1000000.0) AS BIGINT)
-         |      ELSE 0 END AS lut_u
-         | FROM qres t CROSS JOIN csub cs),
-         |sc AS (SELECT l.qid, a.vec_id, CAST(sum(l.lut_u) AS BIGINT) AS dist_u
-         | FROM assign a
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |  JOIN lut l ON l.bucket = a.bucket AND l.sub = e.sub AND l.code = e.code
-         | WHERE a.vec_id <> l.qid
-         | GROUP BY 1, 2),
-         |rk AS (SELECT qid, vec_id, dist_u,
-         |  row_number() OVER (PARTITION BY qid ORDER BY dist_u, vec_id) AS rank
-         | FROM sc)
+      s"""$ivfpqCoreCtes
          |SELECT qid, rank::INT AS rank, vec_id, dist_u FROM rk WHERE rank <= 10""".stripMargin,
+
+    // two-stage retrieve (Jégou 2011 §V.C): the same ADC CTE chain keeps
+    // the top 40 candidates per query, which are re-scored with the EXACT
+    // squared L2 from the uncompressed vectors — the identical
+    // (|x|² − 2·x·q) + |q|² IEEE tree the engine evaluates — and re-ranked
+    "ivfpq_rerank" ->
+      s"""$ivfpqCoreCtes,
+         |cand AS (SELECT qid, vec_id FROM rk WHERE rank <= 40),
+         |ex AS (
+         | SELECT c.qid, c.vec_id,
+         |  (list_dot_product(v.e, v.e) - list_dot_product(v.e, q.qe) * 2.0)
+         |    + list_dot_product(q.qe, q.qe) AS d2
+         | FROM cand c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+         |rr AS (SELECT qid, vec_id, d2,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+         | FROM ex)
+         |SELECT qid, rank::INT AS rank, vec_id,
+         | CAST(FLOOR(d2*1000000.0) AS BIGINT) AS dist2_fp
+         |FROM rr WHERE rank <= 10""".stripMargin,
 
     "retile_64" -> OracleSql.retile64,
 

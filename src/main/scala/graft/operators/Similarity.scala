@@ -368,6 +368,48 @@ object Similarity {
       .select("qid", "rank", "vec_id", "dist_u")
   }
 
+  /** Two-stage IVFADC retrieval (Jégou et al. 2011 §V.C): re-score the top
+    * `kPrime` ADC candidates with EXACT distances from the uncompressed
+    * vectors, then keep the best k. ADC quantization error is what caps
+    * [[ivfpqTopK]]'s within-cluster recall (measured 0.475 on the planted
+    * clustered fixture); re-ranking k′ = 4k candidates exactly recovers
+    * the IVF-within-probe ceiling at the cost of reading k′ full vectors
+    * per query — the standard production trade (every FAISS IVFADC
+    * deployment ships this refine stage).
+    *
+    * Scale shape: the candidate list is queries × kPrime rows — broadcast —
+    * so the exact pass is ONE broadcast-semi-joined scan of the vectors
+    * table (only candidate rows survive the join and pay the full-vector
+    * distance), then a per-qid top-k window bounded by the query count.
+    * Nothing corpus-sized shuffles beyond what [[ivfpqTopK]] already does.
+    *
+    * Exact metric is squared L2 — what ADC approximates — computed as the
+    * single IEEE tree (|x|² − 2·x·q) + |q|² (three [[graft.functions.VectorOps]]
+    * dots; the oracle evaluates the identical tree via list_dot_product),
+    * floored to micro-units for the emitted column; ties break by vec_id.
+    * Returns (qid, rank, vec_id, dist2_fp). */
+  def ivfpqRerank(vectors: DataFrame, queries: DataFrame, k: Int,
+                  kPrime: Int, dim: Int = 64,
+                  nCoarse: Int = 16, nProbe: Int = 4, m: Int = 8,
+                  ksub: Int = 256, lloydRounds: Int = 0): DataFrame = {
+    require(kPrime >= k, s"kPrime $kPrime must be >= k $k")
+    val cand = ivfpqTopK(vectors, queries, kPrime, dim, nCoarse, nProbe,
+        m, ksub, lloydRounds)
+      .select(col("qid"), col("vec_id"))
+    val dot = graft.functions.VectorOps.dot _
+    val exact = vectors.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("d2",
+        dot(col("embedding"), col("embedding"))
+          - dot(col("embedding"), col("qvec")) * lit(2.0)
+          + dot(col("qvec"), col("qvec")))
+    val w = WExpr.partitionBy(col("qid")).orderBy(col("d2").asc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        floor(col("d2") * lit(1e6)).cast("long").as("dist2_fp"))
+  }
+
   /** Sampled estimate of the hottest (band, key) bucket's row count —
     * see [[graft.operators.Dedup.approxMaxKeyRows]] for the estimator
     * rationale (detects dominance, not small counts). */

@@ -180,6 +180,49 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.30, s"IVFADC within-cluster recall did not lift over flat PQ: $recall")
   }
 
+  test("IVFADC + exact re-rank recovers recall ADC quantization error loses") {
+    import spark.implicits._
+    // same planted fixture as the IVFADC test: within-probe the exact
+    // ground-truth neighbors ARE reachable (cluster-precision 1.0), so the
+    // only recall loss left is ADC quantization error — which the exact
+    // re-rank of the top k′=4k candidates removes (Jégou 2011 §V.C)
+    val rng = new scala.util.Random(101)
+    val dim = 64; val nClusters = 8; val per = 250
+    val centers = Array.fill(nClusters, dim)(rng.nextGaussian())
+    val rows = for (c <- 0 until nClusters; j <- 0 until per) yield {
+      val emb = Array.tabulate(dim)(d =>
+        (centers(c)(d) + 0.35 * rng.nextGaussian()).toFloat)
+      ((c * per + j).toLong, emb)
+    }
+    val v = rows.toDF("vec_id", "embedding")
+    val q = v.where(col("vec_id") % per === 37)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val data = rows.map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    val qids = data.keys.filter(_ % per == 37).toSeq.sorted
+    val exact = qids.map { qid =>
+      val qv = data(qid)
+      qid -> data.keys.filter(_ != qid).map { id =>
+        val d = data(id).zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, id)
+      }.toSeq.sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      qids.map(k => (got.getOrElse(k, Set.empty) intersect exact(k)).size / 10.0)
+        .sum / qids.size
+    }
+    val adcOnly = recallOf(Similarity.ivfpqTopK(v, q, 10, dim = dim,
+      nCoarse = 8, nProbe = 2, m = 8, ksub = 256, lloydRounds = 3))
+    val reranked = recallOf(Similarity.ivfpqRerank(v, q, 10, kPrime = 40,
+      dim = dim, nCoarse = 8, nProbe = 2, m = 8, ksub = 256, lloydRounds = 3))
+    info(f"recall@10 — ADC only $adcOnly%.3f, + exact re-rank of top 40: $reranked%.3f")
+    assert(reranked >= adcOnly,
+      s"re-ranking with exact distances must not lose recall: $reranked < $adcOnly")
+    // the verdict-grade claim: materially above the measured ~0.475 ADC wall
+    assert(reranked >= 0.70, s"re-rank did not lift recall materially: $reranked")
+  }
+
   test("pqTopK recall vs exact brute force stays above the pinned floor") {
     val q = vecs.where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -170,6 +170,38 @@ object QueryCatalog {
        |SELECT ${sqlInterleave("xi", "yi", res)} AS cell FROM f""".stripMargin
   }
 
+  /** Concave-fill oracle: the SAME driver-side ear-clipping triangulation
+    * ([[graft.operators.CellOps.triangulate]] — a pure function of the
+    * literal ring) emits per-triangle half-plane conjunctions (ring edges
+    * strict, internal diagonals closed), OR-ed over triangles; every
+    * operand is the identical double literal, so both engines evaluate
+    * the same IEEE trees. */
+  private def polygonFillConcaveSql(poly: Seq[(Double, Double)], res: Int): String = {
+    import graft.core.CellIndex
+    val lons = poly.map(_._1); val lats = poly.map(_._2)
+    val x0 = CellIndex.xIndex(lons.min, res); val x1 = CellIndex.xIndex(lons.max, res)
+    val y0 = CellIndex.yIndex(lats.max, res); val y1 = CellIndex.yIndex(lats.min, res)
+    val w = x1 - x0 + 1; val h = y1 - y0 + 1
+    val n = (1L << res).toDouble
+    def edge(a: (Double, Double), b: (Double, Double), orig: Boolean): String = {
+      val op = if (orig) ">" else ">="
+      s"(((${b._1}) - (${a._1})) * (latc - (${a._2})) - ((${b._2}) - (${a._2})) * (lonc - (${a._1}))) $op 0.0"
+    }
+    val conds = graft.operators.CellOps.triangulate(poly).map { t =>
+      s"""(${edge(t.a, t.b, t.origAB)}
+         |   AND ${edge(t.b, t.c, t.origBC)}
+         |   AND ${edge(t.c, t.a, t.origCA)})""".stripMargin
+    }.mkString("\n  OR ")
+    s"""WITH g AS (SELECT $x0 + (i.i % $w) AS xi, $y0 + (i.i // $w) AS yi
+       | FROM range(0, ${w * h}) i(i)),
+       |c AS (SELECT xi, yi,
+       |  (CAST(xi AS DOUBLE) + 0.5) / $n * 360.0 - 180.0 AS lonc,
+       |  90.0 - (CAST(yi AS DOUBLE) + 0.5) / $n * 180.0 AS latc FROM g),
+       |f AS (SELECT xi, yi FROM c
+       | WHERE $conds)
+       |SELECT ${sqlInterleave("xi", "yi", res)} AS cell FROM f""".stripMargin
+  }
+
   /** Unrolled cover-compaction oracle: per level, parents with all 4
     * children present collapse; the chain runs res → minRes like the
     * pagerank/bpe_train unrolled CTEs. */
@@ -413,6 +445,11 @@ object QueryCatalog {
     // rule): bbox grid enumerated as one distributed range, half-plane
     // inside test, centers re-encoded through the cell_id codegen path
     "polygon_fill" -> ((s, _) => CellOps.convexFill(s, pipPentagon, res = 6)),
+
+    // concave (simple) polygon → cell fill: driver-side ear-clipping
+    // triangulation, then ONE bbox-grid scan testing the OR-of-triangles
+    // half-plane disjunction — closes the convex-only contract gap
+    "polygon_fill_concave" -> ((s, _) => CellOps.polygonFill(s, concaveL, res = 6)),
 
     // canonical cover compaction (H3 compactCells / S2 Normalize): the
     // union of 4°×4° per-doc covers at res 8, complete sibling quads
@@ -1402,6 +1439,14 @@ object QueryCatalog {
   val pipPentagon: Seq[(Double, Double)] = Seq(
     (-100.123, -40.234), (40.567, -55.111), (120.789, 10.456),
     (10.321, 70.654), (-140.987, 30.999))
+
+  /** Concave AOI fixture for polygon_fill_concave: an L-shaped CCW ring
+    * with one reflex vertex — the shape class (admin boundaries,
+    * coastlines) the convex fill's contract excludes. Coordinates are
+    * deliberately off any res-6 cell-center lattice line. */
+  val concaveL: Seq[(Double, Double)] = Seq(
+    (-130.271, -52.613), (110.438, -52.613), (110.438, 10.927),
+    (-20.345, 10.927), (-20.345, 61.834), (-130.271, 61.834))
 
   /** The two distinct label rings (open form — the oracle closes them),
     * taken straight from the fixture geometries so the SQL literals are the
@@ -2716,6 +2761,8 @@ object QueryCatalog {
     "cell_compact" -> cellCompactSql(8, 4),
 
     "polygon_fill" -> polygonFillSql(6),
+
+    "polygon_fill_concave" -> polygonFillConcaveSql(concaveL, 6),
 
     // pyramid rollup: res-8 counts from the same x/y-index interleave the
     // cell_id oracle uses, then `cell // 4` parent sums per level

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.CellIndex
@@ -9,6 +9,169 @@ import graft.core.CellIndex
   * ([[graft.core.CellIndex]]) beyond per-row encode/cover/ring — the
   * set-level index maintenance a spatial partitioning layer needs. */
 object CellOps {
+
+  /** Shoelace signed area of a ring (positive = CCW winding). */
+  def signedArea(poly: Seq[(Double, Double)]): Double = {
+    val ring = poly :+ poly.head
+    ring.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+      ax * by - bx * ay
+    }.sum / 2.0
+  }
+
+  /** Normalize a ring to CCW winding via the shoelace sign, so the strict
+    * cross > 0 half-plane tests below always mean INSIDE — a clockwise
+    * input is reversed instead of silently yielding an empty fill
+    * (round-7 advice); a degenerate zero-area ring fails loudly. */
+  private def ccw(poly: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val a = signedArea(poly)
+    require(a != 0.0, "polygon ring has zero signed area")
+    if (a > 0) poly else poly.reverse
+  }
+
+  /** One ear-clipped triangle (vertices CCW). origAB/origBC/origCA mark
+    * whether that edge lies on the ORIGINAL ring (strict half-plane — the
+    * boundary-exclusive center rule) or is an internal diagonal (closed
+    * half-plane: a center exactly on a shared diagonal is strictly inside
+    * the polygon and must be claimed by the triangles the diagonal bounds,
+    * not dropped between two strict interiors). With that closure the
+    * union of triangle tests is EXACTLY the strict interior of the
+    * polygon — within a triangle, the line through a ring edge intersects
+    * the triangle only along the edge segment itself, so the strict test
+    * never excludes an interior point. */
+  final case class Tri(a: (Double, Double), b: (Double, Double), c: (Double, Double),
+                       origAB: Boolean, origBC: Boolean, origCA: Boolean)
+
+  /** Deterministic ear-clipping triangulation of a SIMPLE ring (no holes,
+    * no repeated closing vertex): always clips the first valid ear in ring
+    * order, so the triangle list — and therefore the SQL the oracle
+    * generator derives from it — is a pure function of the input. AOIs are
+    * small by contract (tens of vertices), so the O(n³) driver cost is
+    * noise; the distributed work downstream is unchanged. Consecutive
+    * collinear vertices are rejected: clipping one would replace two ring
+    * edges by a diagonal lying ON the boundary, and the strict/closed edge
+    * classification would misread it. */
+  def triangulate(polyIn: Seq[(Double, Double)]): Seq[Tri] = {
+    val poly = ccw(polyIn)
+    val n = poly.size
+    require(n >= 3, "need a polygon")
+    def cross(a: (Double, Double), b: (Double, Double), p: (Double, Double)): Double =
+      (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1)
+    def isOrig(i: Int, j: Int): Boolean = (i + 1) % n == j
+    val idx = scala.collection.mutable.ArrayBuffer.range(0, n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tri]
+    while (idx.size > 3) {
+      val m = idx.size
+      var clipped = false
+      var k = 0
+      while (k < m && !clipped) {
+        val ip = idx((k + m - 1) % m); val ic = idx(k); val in2 = idx((k + 1) % m)
+        val (a, b, c) = (poly(ip), poly(ic), poly(in2))
+        val cr = cross(a, b, c)
+        require(cr != 0.0,
+          s"triangulate: collinear consecutive vertices at ring index $ic")
+        if (cr > 0) {
+          // a convex corner is an ear iff no other remaining vertex sits in
+          // the CLOSED candidate triangle (closed so touching reflex
+          // vertices block the clip instead of producing a crossing edge)
+          val blocked = idx.exists { j =>
+            j != ip && j != ic && j != in2 && {
+              val p = poly(j)
+              cross(a, b, p) >= 0 && cross(b, c, p) >= 0 && cross(c, a, p) >= 0
+            }
+          }
+          if (!blocked) {
+            out += Tri(a, b, c, isOrig(ip, ic), isOrig(ic, in2), isOrig(in2, ip))
+            idx.remove(k)
+            clipped = true
+          }
+        }
+        k += 1
+      }
+      require(clipped, "triangulate: no ear found (ring is not simple)")
+    }
+    val (i0, i1, i2) = (idx(0), idx(1), idx(2))
+    out += Tri(poly(i0), poly(i1), poly(i2),
+      isOrig(i0, i1), isOrig(i1, i2), isOrig(i2, i0))
+    out.toSeq
+  }
+
+  /** The bbox candidate grid of a polygon at `res` plus the exact center
+    * coordinates — xi/yi enumerated as ONE distributed range (no
+    * cartesian), capped by MaxCoverCells. Shared by the convex and
+    * concave fills. */
+  private def bboxGrid(spark: SparkSession, poly: Seq[(Double, Double)],
+                       res: Int): (DataFrame, Column, Column) = {
+    val lons = poly.map(_._1); val lats = poly.map(_._2)
+    val x0 = CellIndex.xIndex(lons.min, res); val x1 = CellIndex.xIndex(lons.max, res)
+    val y0 = CellIndex.yIndex(lats.max, res); val y1 = CellIndex.yIndex(lats.min, res)
+    val w = x1 - x0 + 1; val h = y1 - y0 + 1
+    require(w * h <= CellIndex.MaxCoverCells,
+      s"polygon fill: bbox covers ${w * h} cells at res=$res (cap ${CellIndex.MaxCoverCells})")
+    val n = (1L << res).toDouble
+    val grid = spark.range(w * h).select(
+      (lit(x0) + col("id") % w).as("xi"),
+      (lit(y0) + expr(s"id div $w")).as("yi"))
+    val lonC = (col("xi").cast("double") + lit(0.5)) / lit(n) * lit(360.0) - lit(180.0)
+    val latC = lit(90.0) - (col("yi").cast("double") + lit(0.5)) / lit(n) * lit(180.0)
+    (grid, lonC, latC)
+  }
+
+  /** Fill a CONVEX polygon with index cells at `res` — the polygon form
+    * of [[graft.core.CellIndex.cellCover]] (H3 polygonToCells): the cells
+    * whose CENTER lies strictly inside the polygon, which is the standard
+    * center-containment fill rule. Candidates enumerate the bbox index
+    * grid as ONE distributed range (xi = x0 + id % w, yi = y0 + id div w
+    * — no cartesian), the inside test is the half-plane conjunction of
+    * the (CCW-normalized — see [[signedArea]]) ring (cross > 0 per edge;
+    * every operand is a literal or exactly-rounded IEEE arithmetic, so
+    * the oracle evaluates the identical tree), and surviving centers
+    * re-encode through the cell_id codegen Expression — the center sits
+    * 0.5 index units from every floor boundary, ~1e13 ulps of headroom,
+    * so the round-trip is bit-safe. Composes with [[compactCells]] for
+    * mixed-res covers of large AOIs. Convex-only by contract (concave
+    * AOIs use [[polygonFill]]); boundary-touching centers are excluded by
+    * the strict test on both engines. */
+  def convexFill(spark: SparkSession, poly: Seq[(Double, Double)],
+                 res: Int): DataFrame = {
+    require(poly.size >= 3, "need a polygon")
+    val ring0 = ccw(poly)
+    val (grid, lonC, latC) = bboxGrid(spark, ring0, res)
+    val ring = ring0 :+ ring0.head
+    val inside = ring.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+      ((lit(bx) - lit(ax)) * (latC - lit(ay)) -
+        (lit(by) - lit(ay)) * (lonC - lit(ax))) > lit(0.0)
+    }.reduce(_ && _)
+    grid.where(inside)
+      .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"))
+  }
+
+  /** Fill an arbitrary SIMPLE polygon (concave included — admin
+    * boundaries, coastlines) with index cells at `res`: driver-side
+    * ear-clipping triangulation ([[triangulate]] — AOIs are small by
+    * contract), then ONE bbox-grid scan where the inside test is the
+    * disjunction over triangles of their half-plane conjunctions (ring
+    * edges strict, internal diagonals closed — see [[Tri]]; the union is
+    * exactly the strict interior, so the concave fill agrees with robust
+    * point-in-polygon containment wherever no center lies ON the
+    * boundary). Same scale shape as [[convexFill]]: the triangle count
+    * multiplies the per-row predicate cost, never the row count, and the
+    * single distributed range replaces any per-triangle union —
+    * no rescans, no dedup join. */
+  def polygonFill(spark: SparkSession, poly: Seq[(Double, Double)],
+                  res: Int): DataFrame = {
+    val tris = triangulate(poly)
+    val (grid, lonC, latC) = bboxGrid(spark, poly, res)
+    def edge(a: (Double, Double), b: (Double, Double), orig: Boolean): Column = {
+      val cr = (lit(b._1) - lit(a._1)) * (latC - lit(a._2)) -
+        (lit(b._2) - lit(a._2)) * (lonC - lit(a._1))
+      if (orig) cr > lit(0.0) else cr >= lit(0.0)
+    }
+    val inside = tris.map { t =>
+      edge(t.a, t.b, t.origAB) && edge(t.b, t.c, t.origBC) && edge(t.c, t.a, t.origCA)
+    }.reduce(_ || _)
+    grid.where(inside)
+      .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"))
+  }
 
   /** Compact a single-resolution cell cover to canonical mixed
     * resolutions (H3 `compactCells` / S2 `CellUnion.Normalize`): any
@@ -30,45 +193,6 @@ object CellOps {
     * Returns (cell, res) with minRes ≤ res ≤ input res, minimal (no
     * complete sibling group survives — CellOpsSpec pins minimality and
     * exact area preservation). */
-  /** Fill a CONVEX polygon with index cells at `res` — the polygon form
-    * of [[graft.core.CellIndex.cellCover]] (H3 polygonToCells): the cells
-    * whose CENTER lies strictly inside the polygon, which is the standard
-    * center-containment fill rule. Candidates enumerate the bbox index
-    * grid as ONE distributed range (xi = x0 + id % w, yi = y0 + id div w
-    * — no cartesian), the inside test is the half-plane conjunction of a
-    * CCW convex ring (cross > 0 per edge; every operand is a literal or
-    * exactly-rounded IEEE arithmetic, so the oracle evaluates the
-    * identical tree), and surviving centers re-encode through the
-    * cell_id codegen Expression — the center sits 0.5 index units from
-    * every floor boundary, ~1e13 ulps of headroom, so the round-trip is
-    * bit-safe. Composes with [[compactCells]] for mixed-res covers of
-    * large AOIs. Convex-only by contract (concave AOIs triangulate
-    * first); boundary-touching centers are excluded by the strict test
-    * on both engines. */
-  def convexFill(spark: SparkSession, poly: Seq[(Double, Double)],
-                 res: Int): DataFrame = {
-    require(poly.size >= 3, "need a polygon")
-    val lons = poly.map(_._1); val lats = poly.map(_._2)
-    val x0 = CellIndex.xIndex(lons.min, res); val x1 = CellIndex.xIndex(lons.max, res)
-    val y0 = CellIndex.yIndex(lats.max, res); val y1 = CellIndex.yIndex(lats.min, res)
-    val w = x1 - x0 + 1; val h = y1 - y0 + 1
-    require(w * h <= CellIndex.MaxCoverCells,
-      s"convexFill: bbox covers ${w * h} cells at res=$res (cap ${CellIndex.MaxCoverCells})")
-    val n = (1L << res).toDouble
-    val grid = spark.range(w * h).select(
-      (lit(x0) + col("id") % w).as("xi"),
-      (lit(y0) + expr(s"id div $w")).as("yi"))
-    val lonC = (col("xi").cast("double") + lit(0.5)) / lit(n) * lit(360.0) - lit(180.0)
-    val latC = lit(90.0) - (col("yi").cast("double") + lit(0.5)) / lit(n) * lit(180.0)
-    val ring = poly :+ poly.head
-    val inside = ring.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
-      ((lit(bx) - lit(ax)) * (latC - lit(ay)) -
-        (lit(by) - lit(ay)) * (lonC - lit(ax))) > lit(0.0)
-    }.reduce(_ && _)
-    grid.where(inside)
-      .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"))
-  }
-
   def compactCells(cells: DataFrame, res: Int, minRes: Int): DataFrame = {
     require(minRes >= 0 && minRes <= res, s"need 0 <= minRes <= res, got $minRes..$res")
     var cur = cells.select(col("cell")).distinct()

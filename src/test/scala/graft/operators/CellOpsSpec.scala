@@ -93,4 +93,68 @@ class CellOpsSpec extends AnyFunSuite {
     assert(math.abs(filled - shoelace) / shoelace < 0.15,
       s"filled area $filled vs polygon area $shoelace")
   }
+
+  /** Independent JTS robust-containment reference over the bbox grid —
+    * a different implementation family than the half-plane columns. */
+  private def jtsFill(poly: Seq[(Double, Double)], res: Int): Set[Long] = {
+    val jts = graft.core.Geom.polygon(poly)
+    val n = (1L << res).toDouble
+    val lons = poly.map(_._1); val lats = poly.map(_._2)
+    val x0 = CellIndex.xIndex(lons.min, res); val x1 = CellIndex.xIndex(lons.max, res)
+    val y0 = CellIndex.yIndex(lats.max, res); val y1 = CellIndex.yIndex(lats.min, res)
+    (for {
+      xi <- x0 to x1
+      yi <- y0 to y1
+      lonC = (xi + 0.5) / n * 360.0 - 180.0
+      latC = 90.0 - (yi + 0.5) / n * 180.0
+      if jts.contains(graft.core.Geom.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(lonC, latC)))
+    } yield CellIndex.encode(xi, yi)).toSet
+  }
+
+  test("polygonFill: L-shaped (reflex) AOI matches JTS containment; convex fill would over-fill") {
+    val res = 6
+    val poly = graft.QueryCatalog.concaveL
+    val got = CellOps.polygonFill(spark, poly, res).collect().map(_.getLong(0)).toSet
+    val want = jtsFill(poly, res)
+    assert(got.nonEmpty)
+    assert(got == want, s"fill disagrees with JTS: extra=${got -- want}, missing=${want -- got}")
+    // the reflex notch is real: the bbox-sized convex hull has strictly
+    // more cells than the L (sanity that the fixture exercises concavity)
+    val hull = Seq(poly(0), poly(1), (poly(1)._1, poly(4)._2), (poly(0)._1, poly(4)._2))
+    val hullCells = jtsFill(hull, res)
+    assert(got.size < hullCells.size, "fixture is not meaningfully concave")
+  }
+
+  test("polygonFill: star-shaped AOI (5 reflex vertices) matches JTS containment") {
+    val res = 6
+    // 5-point star: alternating outer/inner radii, angles offset 7° so no
+    // edge is axis-parallel and no center sits on a boundary line
+    val (cx, cy) = (-10.3, 5.7)
+    val poly = (0 until 10).map { k =>
+      val r = if (k % 2 == 0) 60.0 else 25.0
+      val th = math.toRadians(7.0 + 36.0 * k)
+      (cx + r * math.cos(th), cy + r * math.sin(th))
+    }
+    val got = CellOps.polygonFill(spark, poly, res).collect().map(_.getLong(0)).toSet
+    val want = jtsFill(poly, res)
+    assert(got.nonEmpty)
+    assert(got == want, s"fill disagrees with JTS: extra=${got -- want}, missing=${want -- got}")
+  }
+
+  test("winding normalization: clockwise rings fill identically (not empty)") {
+    val res = 6
+    val ccwConvex = CellOps.convexFill(spark, pipPentagonLocal, res)
+      .collect().map(_.getLong(0)).toSet
+    val cwConvex = CellOps.convexFill(spark, pipPentagonLocal.reverse, res)
+      .collect().map(_.getLong(0)).toSet
+    assert(ccwConvex.nonEmpty && ccwConvex == cwConvex)
+    val poly = graft.QueryCatalog.concaveL
+    val ccwC = CellOps.polygonFill(spark, poly, res).collect().map(_.getLong(0)).toSet
+    val cwC = CellOps.polygonFill(spark, poly.reverse, res).collect().map(_.getLong(0)).toSet
+    assert(ccwC.nonEmpty && ccwC == cwC)
+  }
+
+  private def pipPentagonLocal = Seq((-100.123, -40.234), (40.567, -55.111),
+    (120.789, 10.456), (10.321, 70.654), (-140.987, 30.999))
 }

@@ -682,6 +682,13 @@ object QueryCatalog {
     // doc_id%5 slice — one integer gradient step (= Σ y·x at w=0), weights
     // broadcast, zero-shuffle scoring map
     "model_quality" -> ((s, dir) => TextOps.modelQuality(docs(s, dir))),
+    // unigram-LM perplexity filter (CCNet): hashed-unigram LM trained on
+    // the src0 in-domain slice, per-doc mean token surprisal in integer
+    // micro-bits — floor(log2(num/den)) computed exactly as
+    // bitlen(num div den) − 1, log-free like token_drift, so the hash
+    // gate is engine-exact
+    "lm_perplexity" -> ((s, dir) =>
+      TextOps.lmPerplexity(docs(s, dir), col("source") === "src0")),
     // eval-set decontamination: deterministic benchmark slice (doc_id%53),
     // 5-gram overlap; the benchmark docs flag themselves plus any
     // training doc sharing a 5-gram (the fixture's planted near-dups)
@@ -1804,6 +1811,24 @@ object QueryCatalog {
          | FROM documents)
          |SELECT doc_id, lang, source, bucket FROM b
          |WHERE bucket < (CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000 ELSE 10000 END)""".stripMargin,
+
+    // unigram-LM perplexity: the hashed-token histogram of the src0 slice
+    // is rebuilt in SQL; per-token surprisal is the exact integer
+    // length(bin(num // den)) − 1 twin of the engine's bitlen form, so the
+    // sum and the micro-bit integer mean hash-match exactly
+    "lm_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |tk AS (SELECT doc_id, unnest(l) AS t FROM d),
+         |hb AS (SELECT doc_id, ${h60sql("t")} % 4096 AS bucket FROM tk),
+         |tgt AS (SELECT bucket, count(*) AS c FROM hb
+         |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(sum(c), 0) + 4096 AS BIGINT) AS num FROM tgt),
+         |sc AS (SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(bin(tot.num // (coalesce(tgt.c, 0) + 1))) - 1) AS BIGINT) AS sum_bits
+         | FROM hb LEFT JOIN tgt USING (bucket) CROSS JOIN tot GROUP BY 1)
+         |SELECT doc_id, n_tokens, sum_bits,
+         | sum_bits * 1000000 // n_tokens AS mean_bits_u
+         |FROM sc""".stripMargin,
 
     "dsir_score" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

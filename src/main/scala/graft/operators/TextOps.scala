@@ -554,6 +554,60 @@ object TextOps {
       .toDF("doc_id", "n_bigrams", "dsir_score")
   }
 
+  /** Unigram-LM perplexity filter (the CCNet stage, Wenzek et al. 2020 —
+    * the generative complement to the discriminative [[modelQuality]]
+    * classifier): train a hashed-unigram language model on an in-domain
+    * slice, then score every document by its MEAN TOKEN SURPRISAL — high
+    * surprisal = out-of-domain / junk, the canonical perplexity filter.
+    *
+    * Determinism: the pipeline is INTEGER end-to-end. The Laplace-smoothed
+    * token probability is the rational (cnt+1)/(total+buckets), and
+    * per-token surprisal floor(log2((total+buckets)/(cnt+1))) is computed
+    * EXACTLY as bitlen(a div b) − 1: for a ≥ b ≥ 1,
+    * ⌊a/b⌋ ≥ 2^k ⟺ a ≥ b·2^k and ⌊a/b⌋ < 2^(k+1) ⟺ a/b < 2^(k+1), so the
+    * integer quotient's bit length IS ⌊log2(a/b)⌋ + 1. No floating log
+    * anywhere (ln/log2 are not bit-stable across runtimes — the same
+    * reason [[tokenDrift]] is chi-square, not KL), so the cross-engine
+    * hash gate is exact; the oracle's twin is length(bin(a // b)) − 1.
+    * The emitted score is integer micro-bits: (Σ bits · 1e6) div n_tokens.
+    *
+    * Scale shape: train = ONE map-side-combined groupBy over the hashed
+    * token buckets of the in-domain slice — ≤ `buckets` rows, collected
+    * and broadcast (the DSIR/codebook discipline); score = one typed
+    * mapPartitions pass with ZERO shuffle at any corpus size. */
+  def lmPerplexity(docs: DataFrame, isInDomain: Column,
+                   buckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs.where(isInDomain).select(col("text")).as[String]
+      .flatMap(_.split(" ", -1).iterator)
+      .toDF("t")
+      .select(pmod(fingerprintCol(col("t")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val arr = Array.tabulate(buckets)(i => hist.getOrElse(i, 0L))
+    val num = arr.sum + buckets // Laplace numerator: total + V
+    val bc = spark.sparkContext.broadcast(arr)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val h = bc.value
+        it.map { case (id, text) =>
+          val t = text.split(" ", -1)
+          var bits = 0L
+          var i = 0
+          while (i < t.length) {
+            val cnt = h((h60Jvm(t(i)) % buckets).toInt)
+            val q = num / (cnt + 1L) // ≥ 1 since cnt ≤ total < num
+            bits += 63 - java.lang.Long.numberOfLeadingZeros(q)
+            i += 1
+          }
+          // split(" ", -1) of "" is [""] — t.length ≥ 1, division is safe
+          (id, t.length.toLong, bits, bits * 1000000L / t.length)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "sum_bits", "mean_bits_u")
+  }
+
   /** First-iteration BPE merge statistics (tokenizer induction: the
     * pair-frequency table the first byte-pair merge is chosen from):
     * count adjacent character pairs within each whitespace word across

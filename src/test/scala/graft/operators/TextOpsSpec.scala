@@ -299,4 +299,30 @@ class TextOpsSpec extends AnyFunSuite {
     info(f"held-out sign accuracy: $acc%.3f")
     assert(acc >= 0.9, s"held-out accuracy $acc below 0.9")
   }
+
+  test("lmPerplexity: out-of-domain docs score materially higher surprisal than in-domain") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    // in-domain vocabulary: 50 common words with a Zipf-ish draw; the
+    // out-of-domain docs use a disjoint vocabulary the LM never saw
+    val vocab = (0 until 50).map(i => s"word$i")
+    val junkVocab = (0 until 50).map(i => s"zzq$i")
+    def doc(v: Seq[String]): String =
+      (0 until 40).map(_ => v(math.min(rng.nextInt(v.size), rng.nextInt(v.size)))).mkString(" ")
+    val rows =
+      (0L until 40L).map(i => (i, doc(vocab), "en", "src0", 0L)) ++     // train slice
+      (100L until 120L).map(i => (i, doc(vocab), "en", "src1", 0L)) ++  // held-out in-domain
+      (200L until 220L).map(i => (i, doc(junkVocab), "en", "src1", 0L)) // out-of-domain
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.lmPerplexity(docs, col("source") === "src0", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def mean(ids: Range) = ids.map(i => got(i.toLong)).sum.toDouble / ids.size
+    val inD = mean(100 until 120); val outD = mean(200 until 220)
+    info(f"mean micro-bits — in-domain $inD%.0f, out-of-domain $outD%.0f")
+    // unseen tokens cost the full log2(total+V) bits vs a few for common
+    // words: the separation should be large, not marginal
+    assert(outD > inD * 1.5, s"no perplexity separation: in=$inD out=$outD")
+    // every doc scored; score is mean-normalized so doc length cancels
+    assert(got.size == rows.size)
+  }
 }

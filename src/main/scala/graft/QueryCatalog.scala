@@ -595,6 +595,11 @@ object QueryCatalog {
       val hashes = Multimodal.nearDupImagesFromDocs(s, docs(s, dir))
         .mapPartitions(_.map(r => (r.doc_id, Multimodal.dHash60(r.payload))))
         .toDF("id", "h")
+      // maxHamming=6 > the quarter-split's certainty radius of 3: pairs
+      // whose 4..6 differing bits span all four quarters are missed by
+      // contract (Dedup.hammingPairs recall note; DedupSpec pins both
+      // sides of the trade) — the perceptual-dup regime this query
+      // targets concentrates edits locally, where some quarter survives
       Dedup.hammingPairs(hashes, maxHamming = 6)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
     }),
@@ -608,6 +613,9 @@ object QueryCatalog {
       val hashes = Multimodal.nearDupAudioFromDocs(s, docs(s, dir))
         .mapPartitions(_.map(r => (r.doc_id, Multimodal.aHash60(r.payload))))
         .toDF("id", "h")
+      // maxHamming=4: one past the certainty radius — 4-bit pairs
+      // touching all four quarters are missed by contract (see
+      // image_dedup's note and Dedup.hammingPairs' recall contract)
       Dedup.hammingPairs(hashes, maxHamming = 4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
     }),

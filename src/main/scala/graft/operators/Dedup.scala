@@ -718,7 +718,22 @@ object Dedup {
     * id_a < id_b. Scale shape: the only corpus-sized plan is the (q, qk)
     * equi-join over the persisted quarter projection — never all-pairs;
     * the hot-key cap guards degenerate corpora (e.g. a run of blank
-    * images all hashing to 0) exactly as the text-side caps do. */
+    * images all hashing to 0) exactly as the text-side caps do.
+    *
+    * RECALL CONTRACT (the LSH trade, pinned by DedupSpec): Hamming ≤ 3 is
+    * found with certainty (pigeonhole over 4 quarters); a pair at
+    * 4..maxHamming is found iff its differing bits leave SOME quarter
+    * untouched — differences spread across all four quarters are missed
+    * by construction (the oracle replays the same blocking, so the hash
+    * gate shares the trade). Callers wanting certainty at d > 3 need a
+    * wider band split (e.g. ⌈d+1⌉ bands), paying proportionally more
+    * join volume.
+    *
+    * Cache contract: the quarter projection is persisted (4 block
+    * projections + 2 join sides read it) and the returned plan depends
+    * on it — callers release it with `spark.catalog.clearCache()` (or
+    * their own unpersist) after the terminal action, same as
+    * [[crossCorpus]]. */
   def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
                    quarterCap: Int = QuarterDfCap,
                    hotKeyRowLimit: Long = HotKeyWindowRowLimit): DataFrame = {

@@ -53,7 +53,16 @@ object Graph {
     * larger graphs keep the distributed loop.
     *
     * edges: (src, dst, w) — pre-aggregated, self-loops already dropped.
-    * Returns (node, rank_u) for every node appearing as src or dst. */
+    * Returns (node, rank_u) for every node appearing as src or dst.
+    *
+    * Overflow guard: the per-edge term rank_u · dampNum · w is plain Long
+    * arithmetic on both paths; on a skewed graph with huge weights it
+    * could wrap — and non-ANSI Spark and the JVM wrap IDENTICALLY while
+    * DuckDB widens to HUGEINT, so the failure mode would be a silent
+    * cross-engine divergence, not an error. Both paths therefore check
+    * max(rank) · dampNum · max(w) against Long.MaxValue every round (a
+    * node-sized agg next to the round's edge join; O(nodes) scan on the
+    * fast path) and fail loudly with a rescale hint instead. */
   def pageRank(edges: DataFrame, iters: Int = 10,
                dampNum: Long = 85L, jumpU: Long = 150000L,
                localEdgeLimit: Long = LocalPrEdgeLimit): DataFrame = {
@@ -76,8 +85,13 @@ object Graph {
         .mapPartitions { it =>
           val es = it.toArray
           val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+          val maxW = math.max(if (es.isEmpty) 1L else es.map(_._3).max, 1L)
           var r = ns.map(_ -> 1000000L).toMap
           for (_ <- 1 to iters) {
+            val maxR = if (r.isEmpty) 0L else r.values.max
+            require(maxR <= Long.MaxValue / dampNum / maxW,
+              s"pageRank: rank*damp*w would overflow Long (max rank $maxR, " +
+                s"max w $maxW) — rescale edge weights")
             val mass = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
             es.foreach { case (u, v, w, wout) =>
               mass(v) += r(u) * dampNum * w / (100L * wout)
@@ -93,8 +107,16 @@ object Graph {
       return out
     }
     val nodesCk = nodes.localCheckpoint(true)
+    val maxW = math.max(
+      Option(ew.agg(max(col("w").cast("long"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(1L), 1L)
     var ranks = nodesCk.withColumn("rank_u", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iters) {
+      val maxR = Option(ranks.agg(max("rank_u")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      require(maxR <= Long.MaxValue / dampNum / maxW,
+        s"pageRank: rank*damp*w would overflow Long (max rank $maxR, " +
+          s"max w $maxW) — rescale edge weights")
       val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),

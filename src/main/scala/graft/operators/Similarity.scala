@@ -455,7 +455,13 @@ object Similarity {
     * Exact cosine verifies candidates, so the cap is the only recall
     * trade (same as [[cosinePairs]], mirrored in the oracle).
     * corpus: (vec_id, embedding); evalSet: (eval_id, embedding).
-    * Returns (vec_id, eval_id, cos). */
+    * Returns (vec_id, eval_id, cos).
+    *
+    * Cache contract: the corpus signature and blocked-band frames are
+    * persisted (band projections / join sides re-read them) and the
+    * returned plan depends on them — callers release with
+    * `spark.catalog.clearCache()` (or their own unpersist) after the
+    * terminal action, same as [[graft.operators.Search.bm25TopK]]. */
   def crossCosinePairs(corpus: DataFrame, evalSet: DataFrame, tau: Double,
                        dim: Int, nPlanes: Int = 24, nBands: Int = 6,
                        bucketCap: Int = BandBucketCap,

@@ -214,15 +214,31 @@ object TextOps {
 
   /** Benchmark decontamination (the GPT-3 appendix-C / Dolma pass): flag
     * corpus documents sharing any w-gram with an evaluation/benchmark set,
-    * so eval data can be held out of training. The benchmark is SMALL by
-    * contract (eval suites are thousands of documents, never corpus-scale),
-    * so its distinct w-gram set is collected and BROADCAST; the corpus side
-    * is then one typed mapPartitions pass with ZERO shuffle at any corpus
-    * size — each task tokenizes its documents and streams their w-grams
-    * against the broadcast set. Tokenization is Dedup's shingle contract
-    * (single-space split keeping empty tokens, grams joined by a space).
-    * Returns (doc_id, n_matched_grams = DISTINCT grams hit, contaminated). */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 5): DataFrame = {
+    * so eval data can be held out of training. Tokenization is Dedup's
+    * shingle contract (single-space split keeping empty tokens, grams
+    * joined by a space).
+    * Returns (doc_id, n_matched_grams = DISTINCT grams hit, contaminated).
+    *
+    * Hybrid driver-memory discipline (the crossCorpus/CC/bpeTrain
+    * pattern): a benchmark whose distinct gram count measures ≤
+    * `gramSetLimit` — the normal case, eval suites are thousands of
+    * documents — collects its grams into ONE broadcast Set, and the
+    * corpus side is a zero-shuffle typed mapPartitions pass. Above the
+    * limit nothing corpus-scale is ever collected: a BLOOM filter over
+    * the benchmark grams is built distributively
+    * ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]]) and
+    * broadcast, each doc emits only its DISTINCT Bloom-positive grams
+    * (true hits + the fpp sliver), and an exact string equi-join against
+    * the benchmark gram relation removes the false positives — so the
+    * two paths are output-identical (TextOpsSpec pins it) and only the
+    * positive sliver ever shuffles. Cache contract: the distinct-gram
+    * frame is persisted (count, Set-collect/Bloom build, and the verify
+    * join all read it) and the Bloom path's returned plan depends on it —
+    * callers release it with `spark.catalog.clearCache()` (or their own
+    * unpersist) after the terminal action, same as
+    * [[graft.operators.Dedup.crossCorpus]]. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 5,
+                    gramSetLimit: Long = 2000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     def grams(text: String): Iterator[String] = {
@@ -230,20 +246,42 @@ object TextOps {
       if (t.length < w) Iterator.empty
       else (0 to t.length - w).iterator.map(i => t.slice(i, i + w).mkString(" "))
     }
-    val benchGrams = benchmark.select(col("text")).as[String]
-      .flatMap(grams(_)).distinct().collect().toSet
-    val bc = spark.sparkContext.broadcast(benchGrams)
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val set = bc.value
-        it.map { case (id, text) =>
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          grams(text).foreach(g => if (set.contains(g)) seen.add(g))
-          (id, seen.size.toLong)
+    val benchGramDf = benchmark.select(col("text")).as[String]
+      .flatMap(grams(_)).toDF("g").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nGrams = benchGramDf.count()
+    if (nGrams <= gramSetLimit) {
+      val bc = spark.sparkContext.broadcast(
+        benchGramDf.as[String].collect().toSet)
+      docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val set = bc.value
+          it.map { case (id, text) =>
+            val seen = scala.collection.mutable.HashSet.empty[String]
+            grams(text).foreach(g => if (set.contains(g)) seen.add(g))
+            (id, seen.size.toLong)
+          }
         }
-      }
-      .toDF("doc_id", "n_matched_grams")
-      .withColumn("contaminated", col("n_matched_grams") > 0)
+        .toDF("doc_id", "n_matched_grams")
+        .withColumn("contaminated", col("n_matched_grams") > 0)
+    } else {
+      val filter = benchGramDf.stat.bloomFilter("g", math.max(nGrams, 1L), 0.01)
+      val bc = spark.sparkContext.broadcast(filter)
+      val cand = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val f = bc.value
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          grams(text).foreach(g => if (f.mightContainString(g)) seen.add(g))
+          seen.iterator.map(g => (id, g))
+        }.toDF("doc_id", "g")
+      val hits = cand.join(benchGramDf, Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matched_grams"))
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"))
+        .withColumn("contaminated", col("n_matched_grams") > 0)
+    }
   }
 
   /** PII scrubbing for web corpora: redact emails and phone-shaped digit
@@ -371,7 +409,12 @@ object TextOps {
     * chunk_idx, n_tok, h60) rows reach the keeper aggregation — the
     * [[chunkDedup]] exchange discipline. Keep-first = min (doc_id,
     * chunk_idx) struct per hash, hot-chunk safe (no window over the
-    * corpus). Output: (doc_id, n_chunks, n_dup_chunks, n_tokens_kept). */
+    * corpus). Output: (doc_id, n_chunks, n_dup_chunks, n_tokens_kept).
+    *
+    * Cache contract: the chunk-hash frame is persisted (keeper choice and
+    * the per-doc rollup both read it) and the returned plan depends on
+    * it — callers release it with `spark.catalog.clearCache()` (or their
+    * own unpersist) after the terminal action, same as [[Search.bm25TopK]]. */
   def cdcChunkDedup(docs: DataFrame, mask: Long = 8L): DataFrame = {
     import docs.sparkSession.implicits._
     val chunks = docs.select(col("doc_id").cast("long"), col("text"))
@@ -430,7 +473,13 @@ object TextOps {
     * Scale shape: ONE map-side-combined (source, bucket) count over the
     * exploded tokens (output ≤ |sources|·nBuckets rows), a broadcast of
     * the nBuckets-row global table, zero further corpus passes.
-    * Output: (source, n_tokens, drift_u). */
+    * Output: (source, n_tokens, drift_u).
+    *
+    * Cache contract: the (source, bucket) count frame is persisted (the
+    * global histogram, per-source totals and the grid join all read it)
+    * and the returned plan depends on it — callers release it with
+    * `spark.catalog.clearCache()` (or their own unpersist) after the
+    * terminal action, same as [[Search.bm25TopK]]. */
   def tokenDrift(docs: DataFrame, nBuckets: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     val tok = docs.select(col("source"),
@@ -463,7 +512,10 @@ object TextOps {
 
   /** Weighted sampling without replacement — priority sampling (Duffield,
     * Lund & Thorup 2007), derandomized: each doc draws u from its salted
-    * content hash (u ∈ [1, 2³⁰], never 0) and gets priority w/u with
+    * DOC_ID hash (u ∈ [1, 2³⁰], never 0 — selection is therefore
+    * id-stable, not content-stable: the same text re-ingested under a new
+    * doc_id draws a fresh u; hash the text instead if re-ingestion
+    * stability is what a caller needs) and gets priority w/u with
     * w = its token count; the k highest priorities per source are the
     * sample. Inclusion probability grows ∝ w (a doc twice as long is
     * ~twice as likely in), which is the curation use: sample documents

@@ -97,4 +97,27 @@ class DedupSpec extends AnyFunSuite {
     // exact dedup still works on them
     assert(Dedup.exact(tiny).count() == 3)
   }
+
+  test("hammingPairs recall contract: certain at d<=3; d=4..6 found iff some quarter untouched") {
+    import spark.implicits._
+    val base = 0x0123456789ABCDEL & ((1L << 60) - 1)
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val rows = Seq(
+      (0L, base),
+      (1L, flip(base, Seq(2, 3, 17))),          // d=3: quarters 1..3 clean — MUST be found
+      (2L, flip(base, Seq(5, 6, 20, 21, 40))),  // d=5: quarter 3 (bits 45..59) clean — found
+      (3L, flip(base, Seq(1, 16, 31, 46)))      // d=4: one bit in EVERY quarter — missed by contract
+    ).toDF("id", "h")
+    val got = Dedup.hammingPairs(rows, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    spark.catalog.clearCache()
+    assert(got.get((0L, 1L)).contains(3), s"d=3 pair must always be found: $got")
+    assert(got.get((0L, 2L)).contains(5),
+      s"d=5 pair with an untouched quarter must be found: $got")
+    // the documented LSH trade: differing bits spanning all 4 quarters
+    // leave no blocking key equal, so the pair is invisible even though
+    // d=4 <= maxHamming=6 — this is the advertised partial-recall regime
+    assert(!got.contains((0L, 3L)),
+      s"all-quarters-touched pair should be missed by the blocking contract: $got")
+  }
 }

@@ -300,6 +300,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(acc >= 0.9, s"held-out accuracy $acc below 0.9")
   }
 
+  test("decontaminate: Bloom+exact-verify path is output-identical to the broadcast-Set path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    val vocab = (0 until 30).map(i => s"tok$i")
+    def doc(n: Int): String = (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val bench = (0L until 8L).map(i => (i + 1000L, doc(20))).toDF("doc_id", "text")
+    val benchTexts = bench.collect().map(_.getString(1))
+    // corpus: clean docs, verbatim benchmark copies, and partial-overlap
+    // docs embedding one benchmark 5-gram each
+    val corpus = ((0L until 30L).map(i => (i, doc(25))) ++
+      (100L until 104L).map(i => (i, benchTexts((i % 8).toInt))) ++
+      (200L until 204L).map { i =>
+        val words = benchTexts((i % 8).toInt).split(" ").slice(3, 8).mkString(" ")
+        (i, doc(6) + " " + words + " " + doc(6))
+      }).toDF("doc_id", "text")
+    def run(limit: Long) =
+      TextOps.decontaminate(corpus, bench, w = 5, gramSetLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaSet = run(Long.MaxValue)
+    spark.catalog.clearCache()
+    val viaBloom = run(0L) // force the Bloom path
+    spark.catalog.clearCache()
+    assert(viaSet == viaBloom,
+      s"paths diverge: onlySet=${viaSet -- viaBloom}, onlyBloom=${viaBloom -- viaSet}")
+    // the fixture is non-trivial on both sides of the flag
+    assert(viaSet.count(_._3) >= 8 && viaSet.count(!_._3) >= 20)
+  }
+
   test("lmPerplexity: out-of-domain docs score materially higher surprisal than in-domain") {
     import spark.implicits._
     val rng = new scala.util.Random(7L)

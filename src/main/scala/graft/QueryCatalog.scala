@@ -666,6 +666,34 @@ object QueryCatalog {
       Similarity.ivfpqRerank(v, q, k = 10, kPrime = 40)
     }),
 
+    // hybrid geo+semantic retrieval: the cell index generates spatial
+    // candidates (kRing-2 membership as a broadcast cell equi-join — the
+    // spatial_join_tiles shape) and the embedding family re-ranks them by
+    // exact cosine — both index families composed in ONE plan. Queries =
+    // the first 5 docs (their location AND their embedding); at 100 TB
+    // the corpus side pays one cell-pruned scan + a candidate-sized
+    // cosine stage, never a global ANN pass.
+    "geo_semantic_topk" -> ((s, dir) => {
+      val pts = docs(s, dir).select(col("doc_id"),
+        CellFunctions.cell_id(dLat, dLon, lit(4)).as("cell"))
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val qring = pts.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(CellFunctions.k_ring(col("cell"), lit(2), lit(4))).as("cell"))
+      val cand = pts.join(broadcast(qring), Seq("cell"))
+        .where(col("doc_id") =!= col("qid"))
+        .select("qid", "doc_id")
+      val qe = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val scored = cand.join(e, cand("doc_id") === e("vec_id"))
+        .join(broadcast(qe), Seq("qid"))
+        .withColumn("cos", Similarity.cosine(col("embedding"), col("qvec")))
+      val w = WExpr.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), fp6(col("cos")).as("cos_fp"))
+    }),
+
     // ---- link-graph analytics ---------------------------------------------
     // domain PageRank as a curation weight: exact integer micro-units (per-
     // edge contributions floored BEFORE the sum, integer jump constant), so
@@ -1819,6 +1847,33 @@ object QueryCatalog {
          | FROM documents)
          |SELECT doc_id, lang, source, bucket FROM b
          |WHERE bucket < (CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000 ELSE 10000 END)""".stripMargin,
+
+    // hybrid geo+semantic oracle: kRing-2 membership is Chebyshev distance
+    // <= 2 on the (xi, yi) index pair (points are always in grid bounds,
+    // so the clamped ring and the abs-diff test agree); re-rank is the
+    // shared rounded-cosine tree
+    "geo_semantic_topk" ->
+      s"""WITH pts AS (SELECT doc_id,
+         |  ${sqlXIndex(sqlLon, 4)} AS xi, ${sqlYIndex(sqlLat, 4)} AS yi
+         | FROM documents),
+         |qp AS (SELECT doc_id AS qid, xi AS qxi, yi AS qyi FROM pts WHERE doc_id < 5),
+         |ve AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cand AS (
+         | SELECT qp.qid, p.doc_id FROM pts p, qp
+         | WHERE abs(p.xi - qp.qxi) <= 2 AND abs(p.yi - qp.qyi) <= 2
+         |   AND p.doc_id <> qp.qid),
+         |sc AS (
+         | SELECT c.qid, c.doc_id,
+         |  round(list_dot_product(v.e, q.qe) / sqrt(list_dot_product(v.e, v.e)) / sqrt(list_dot_product(q.qe, q.qe)), 6) AS cos
+         | FROM cand c
+         |  JOIN ve v ON v.vec_id = c.doc_id
+         |  JOIN (SELECT vec_id AS qid, e AS qe FROM ve WHERE vec_id < 5) q ON q.qid = c.qid),
+         |r AS (SELECT qid, doc_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+         | FROM sc)
+         |SELECT qid, rank::INT AS rank, doc_id,
+         | CAST(FLOOR(cos*1000000.0) AS BIGINT) AS cos_fp
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     // unigram-LM perplexity: the hashed-token histogram of the src0 slice
     // is rebuilt in SQL; per-token surprisal is the exact integer

@@ -149,6 +149,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "event_type IN filter not pushed to the events scan")
   }
 
+  test("geo_semantic_topk: broadcast cell equi-join candidates, no cartesian/BNLJ") {
+    val p = QueryCatalog.queries("geo_semantic_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "the kRing candidate join should broadcast")
+  }
+
   test("q1_agg scan prunes to the aggregated columns only") {
     val p = QueryCatalog.queries("q1_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

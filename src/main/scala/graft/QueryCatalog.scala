@@ -202,6 +202,20 @@ object QueryCatalog {
        |SELECT ${sqlInterleave("xi", "yi", res)} AS cell FROM f""".stripMargin
   }
 
+  /** Strict-interior SQL predicate for a point (`latE`, `lonE`) in `poly`
+    * — the SQL twin of [[graft.operators.CellOps.insidePredicate]]: the
+    * same deterministic triangulation, the same strict/closed edge
+    * classes, identical IEEE trees. */
+  private def insideSql(poly: Seq[(Double, Double)], latE: String, lonE: String): String = {
+    def edge(a: (Double, Double), b: (Double, Double), orig: Boolean): String = {
+      val op = if (orig) ">" else ">="
+      s"(((${b._1}) - (${a._1})) * ($latE - (${a._2})) - ((${b._2}) - (${a._2})) * ($lonE - (${a._1}))) $op 0.0"
+    }
+    graft.operators.CellOps.triangulate(poly).map { t =>
+      s"(${edge(t.a, t.b, t.origAB)} AND ${edge(t.b, t.c, t.origBC)} AND ${edge(t.c, t.a, t.origCA)})"
+    }.mkString("(", "\n  OR ", ")")
+  }
+
   /** Unrolled cover-compaction oracle: per level, parents with all 4
     * children present collapse; the chain runs res → minRes like the
     * pagerank/bpe_train unrolled CTEs. */
@@ -450,6 +464,24 @@ object QueryCatalog {
     // triangulation, then ONE bbox-grid scan testing the OR-of-triangles
     // half-plane disjunction — closes the convex-only contract gap
     "polygon_fill_concave" -> ((s, _) => CellOps.polygonFill(s, concaveL, res = 6)),
+
+    // ---- G12: cell-indexed PIP join (cover classify + boundary sliver) ---
+    // the production spatial-join pattern: the polygon's cover cells are
+    // classified interior/boundary and broadcast; the corpus pays ONE cell
+    // equi-join, and the exact half-plane predicate runs only on points in
+    // boundary cells (the O(perimeter) sliver) — pip_aoi's whole-scan
+    // predicate becomes index work. Result set is exactly the strict
+    // interior regardless of the cover (coverClassify's margin guard), so
+    // the oracle checks it with an independent plain predicate scan.
+    "pip_cell_join" -> ((s, dir) => {
+      val cover = CellOps.coverClassify(s, concaveL, res = 7)
+      val pts = docs(s, dir).select(col("doc_id"), dLat.as("lat"), dLon.as("lon"))
+        .withColumn("cell", CellFunctions.cell_id(col("lat"), col("lon"), lit(7)))
+      pts.join(broadcast(cover), Seq("cell"))
+        .where(col("interior") ||
+          CellOps.insidePredicate(concaveL, col("lat"), col("lon")))
+        .select("doc_id")
+    }),
 
     // canonical cover compaction (H3 compactCells / S2 Normalize): the
     // union of 4°×4° per-doc covers at res 8, complete sibling quads
@@ -2851,6 +2883,12 @@ object QueryCatalog {
     "polygon_fill" -> polygonFillSql(6),
 
     "polygon_fill_concave" -> polygonFillConcaveSql(concaveL, 6),
+
+    // Independent check of the cell-indexed join: a plain whole-table
+    // predicate scan — the cover/boundary machinery must be invisible in
+    // the result set (coverClassify's margin-guard contract)
+    "pip_cell_join" ->
+      s"SELECT doc_id FROM documents WHERE ${insideSql(concaveL, sqlLat, sqlLon)}",
 
     // pyramid rollup: res-8 counts from the same x/y-index interleave the
     // cell_id oracle uses, then `cell // 4` parent sums per level

@@ -145,32 +145,104 @@ object CellOps {
       .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"))
   }
 
+  /** Strict-interior membership of point (`lat`, `lon`) in a SIMPLE
+    * polygon, as a Column predicate: the disjunction over the
+    * [[triangulate]]d triangles of their half-plane conjunctions (ring
+    * edges strict, internal diagonals closed — see [[Tri]]; the union is
+    * exactly the strict interior). Every operand is a literal or
+    * exactly-rounded IEEE arithmetic, so a SQL oracle can evaluate the
+    * identical tree. Shared by [[polygonFill]] (over cell centers) and
+    * the cell-indexed PIP join (over boundary-cell points). */
+  def insidePredicate(poly: Seq[(Double, Double)], lat: Column, lon: Column): Column = {
+    def edge(a: (Double, Double), b: (Double, Double), orig: Boolean): Column = {
+      val cr = (lit(b._1) - lit(a._1)) * (lat - lit(a._2)) -
+        (lit(b._2) - lit(a._2)) * (lon - lit(a._1))
+      if (orig) cr > lit(0.0) else cr >= lit(0.0)
+    }
+    triangulate(poly).map { t =>
+      edge(t.a, t.b, t.origAB) && edge(t.b, t.c, t.origBC) && edge(t.c, t.a, t.origCA)
+    }.reduce(_ || _)
+  }
+
   /** Fill an arbitrary SIMPLE polygon (concave included — admin
     * boundaries, coastlines) with index cells at `res`: driver-side
     * ear-clipping triangulation ([[triangulate]] — AOIs are small by
-    * contract), then ONE bbox-grid scan where the inside test is the
-    * disjunction over triangles of their half-plane conjunctions (ring
-    * edges strict, internal diagonals closed — see [[Tri]]; the union is
-    * exactly the strict interior, so the concave fill agrees with robust
-    * point-in-polygon containment wherever no center lies ON the
-    * boundary). Same scale shape as [[convexFill]]: the triangle count
+    * contract), then ONE bbox-grid scan testing [[insidePredicate]] on
+    * cell centers. Same scale shape as [[convexFill]]: the triangle count
     * multiplies the per-row predicate cost, never the row count, and the
     * single distributed range replaces any per-triangle union —
     * no rescans, no dedup join. */
   def polygonFill(spark: SparkSession, poly: Seq[(Double, Double)],
                   res: Int): DataFrame = {
+    val (grid, lonC, latC) = bboxGrid(spark, poly, res)
+    grid.where(insidePredicate(poly, latC, lonC))
+      .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"))
+  }
+
+  /** Classified cell cover of a SIMPLE polygon at `res` — the index-side
+    * half of the production spatial join: `(cell, interior)` where
+    * `interior = true` cells lie ENTIRELY within the strict interior
+    * (every point in them is inside — no exact test needed) and
+    * `interior = false` cells may straddle the boundary (points there
+    * get the exact [[insidePredicate]] verify). A point-in-polygon join
+    * then becomes a broadcast equi-join on the cell id plus an exact
+    * test on only the O(perimeter) boundary sliver — the corpus never
+    * evaluates the polygon predicate row by row.
+    *
+    * Soundness under IEEE rounding is margin-guarded by `eps`: a cell is
+    * marked interior only when all 4 corners clear every edge of some
+    * one triangle by > eps, and kept as a candidate whenever any corner
+    * comes within eps of any triangle (per-edge max-corner separating
+    * test + bbox overlap with eps slack). The cross terms are products
+    * of |coords| ≤ 360 doubles (absolute rounding error ≲ 1e-10), so
+    * eps = 1e-6 means misrounding can only demote interior cells to
+    * boundary (extra exact tests) or keep outside cells as candidates
+    * (filtered by the exact test) — never change the result set. The
+    * result set is therefore EXACTLY the strict interior, independent of
+    * the cover construction, which is what lets an oracle check the join
+    * with a plain whole-table predicate scan.
+    *
+    * Scale shape: the bbox grid is ONE distributed range (capped by
+    * MaxCoverCells) and the output is broadcast-sized by construction;
+    * candidate filtering multiplies the per-row predicate cost by the
+    * triangle count, never the row count. */
+  def coverClassify(spark: SparkSession, poly: Seq[(Double, Double)],
+                    res: Int, eps: Double = 1e-6): DataFrame = {
     val tris = triangulate(poly)
     val (grid, lonC, latC) = bboxGrid(spark, poly, res)
-    def edge(a: (Double, Double), b: (Double, Double), orig: Boolean): Column = {
-      val cr = (lit(b._1) - lit(a._1)) * (latC - lit(a._2)) -
-        (lit(b._2) - lit(a._2)) * (lonC - lit(a._1))
-      if (orig) cr > lit(0.0) else cr >= lit(0.0)
-    }
-    val inside = tris.map { t =>
-      edge(t.a, t.b, t.origAB) && edge(t.b, t.c, t.origBC) && edge(t.c, t.a, t.origCA)
+    val n = (1L << res).toDouble
+    val lonLo = col("xi").cast("double") / lit(n) * lit(360.0) - lit(180.0)
+    val lonHi = (col("xi").cast("double") + lit(1.0)) / lit(n) * lit(360.0) - lit(180.0)
+    val latHi = lit(90.0) - col("yi").cast("double") / lit(n) * lit(180.0)
+    val latLo = lit(90.0) - (col("yi").cast("double") + lit(1.0)) / lit(n) * lit(180.0)
+    val corners = Seq((lonLo, latLo), (lonLo, latHi), (lonHi, latLo), (lonHi, latHi))
+    def cross(a: (Double, Double), b: (Double, Double), x: Column, y: Column): Column =
+      (lit(b._1) - lit(a._1)) * (y - lit(a._2)) - (lit(b._2) - lit(a._2)) * (x - lit(a._1))
+    def triEdges(t: Tri) = Seq((t.a, t.b), (t.b, t.c), (t.c, t.a))
+    // fully inside t: all 4 corners clear all 3 edges by > eps ⇒ the cell
+    // (the corner hull) sits in t's closed interior ⇒ in the polygon's
+    // strict interior (ring edges cleared strictly with margin)
+    val interior = tris.map { t =>
+      triEdges(t).map { case (a, b) =>
+        corners.map { case (x, y) => cross(a, b, x, y) > lit(eps) }.reduce(_ && _)
+      }.reduce(_ && _)
     }.reduce(_ || _)
-    grid.where(inside)
-      .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"))
+    // candidate for t: bbox overlap (eps slack) and, per edge, SOME corner
+    // not separated (max corner cross > -eps) — the separating-axis test
+    // for a convex triangle vs an axis-aligned box, margin-relaxed so any
+    // strictly-inside point's cell always survives
+    val cand = tris.map { t =>
+      val xs = Seq(t.a._1, t.b._1, t.c._1); val ys = Seq(t.a._2, t.b._2, t.c._2)
+      val bbox = lonLo <= lit(xs.max + eps) && lonHi >= lit(xs.min - eps) &&
+        latLo <= lit(ys.max + eps) && latHi >= lit(ys.min - eps)
+      val axes = triEdges(t).map { case (a, b) =>
+        corners.map { case (x, y) => cross(a, b, x, y) }.reduce(greatest(_, _)) > lit(-eps)
+      }.reduce(_ && _)
+      bbox && axes
+    }.reduce(_ || _)
+    grid.where(cand)
+      .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"),
+        interior.as("interior"))
   }
 
   /** Compact a single-resolution cell cover to canonical mixed

@@ -157,4 +157,70 @@ class CellOpsSpec extends AnyFunSuite {
 
   private def pipPentagonLocal = Seq((-100.123, -40.234), (40.567, -55.111),
     (120.789, 10.456), (10.321, 70.654), (-140.987, 30.999))
+
+  /** JTS audit of a classified cover: every interior-marked cell must have
+    * all 4 corners AND its center robustly contained (different
+    * implementation family than the margin-guarded half-plane columns),
+    * and every cell of the JTS center-fill must appear in the candidate
+    * set (no inside area escapes the cover). */
+  private def auditClassify(poly: Seq[(Double, Double)], res: Int): Unit = {
+    val rows = CellOps.coverClassify(spark, poly, res).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val jts = graft.core.Geom.polygon(poly)
+    val n = (1L << res).toDouble
+    def pt(lon: Double, lat: Double) = graft.core.Geom.factory.createPoint(
+      new org.locationtech.jts.geom.Coordinate(lon, lat))
+    for ((cell, interior) <- rows if interior) {
+      val (xi, yi) = CellIndex.decode(cell)
+      val (lo, hi) = (xi / n * 360.0 - 180.0, (xi + 1) / n * 360.0 - 180.0)
+      val (top, bot) = (90.0 - yi / n * 180.0, 90.0 - (yi + 1) / n * 180.0)
+      for ((x, y) <- Seq((lo, bot), (lo, top), (hi, bot), (hi, top),
+        ((lo + hi) / 2, (top + bot) / 2)))
+        assert(jts.contains(pt(x, y)),
+          s"interior cell ($xi,$yi) has corner/center ($x,$y) outside")
+    }
+    val cand = rows.map(_._1).toSet
+    val missing = jtsFill(poly, res) -- cand
+    assert(missing.isEmpty, s"JTS-inside centers outside the candidate cover: $missing")
+    assert(rows.count(_._2) * 2 > rows.length,
+      "interior cells should dominate the cover at this res (sliver claim)")
+  }
+
+  test("coverClassify: L-shape and star covers are sound (JTS corner audit) and interior-dominated") {
+    auditClassify(graft.QueryCatalog.concaveL, res = 7)
+    val (cx, cy) = (-10.3, 5.7)
+    val star = (0 until 10).map { k =>
+      val r = if (k % 2 == 0) 60.0 else 25.0
+      val th = math.toRadians(7.0 + 36.0 * k)
+      (cx + r * math.cos(th), cy + r * math.sin(th))
+    }
+    auditClassify(star, res = 7)
+  }
+
+  test("pip_cell_join: equals the brute-force strict-interior scan; exact tests hit only the sliver") {
+    val dir = "/root/testdata/sf0.001"
+    val poly = graft.QueryCatalog.concaveL
+    val got = graft.QueryCatalog.queries("pip_cell_join")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // brute force: the same strict-interior predicate over ALL docs (the
+    // oracle's formula), no cell machinery anywhere
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        (lit(-85.0) + (col("doc_id") * lit(104729L) % lit(17000L)).cast("double") / lit(100.0)).as("lat"),
+        (lit(-180.0) + (col("doc_id") * lit(7919L) % lit(36000L)).cast("double") / lit(100.0)).as("lon"))
+    val want = docs.where(CellOps.insidePredicate(poly, col("lat"), col("lon")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == want,
+      s"cell join diverges: extra=${(got -- want).take(5)}, missing=${(want -- got).take(5)}")
+    // the scale claim: most accepted points ride the interior fast path
+    // (no exact predicate), only the boundary sliver pays the half-planes
+    val cover = CellOps.coverClassify(spark, poly, res = 7)
+    val byKind = docs
+      .withColumn("cell", graft.functions.CellFunctions.cell_id(col("lat"), col("lon"), lit(7)))
+      .join(broadcast(cover), Seq("cell"))
+      .groupBy("interior").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byKind.getOrElse(true, 0L) > 4 * byKind.getOrElse(false, 0L),
+      s"interior fast-path should dominate: $byKind")
+  }
 }

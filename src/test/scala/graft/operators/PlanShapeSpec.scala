@@ -157,6 +157,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the kRing candidate join should broadcast")
   }
 
+  test("pip_cell_join: broadcast cover equi-join, no cartesian/BNLJ, corpus scanned once") {
+    val qe = QueryCatalog.queries("pip_cell_join")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "the classified cover must broadcast")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"pip_cell_join reads documents $scans times (want 1)")
+  }
+
   test("q1_agg scan prunes to the aggregated columns only") {
     val p = QueryCatalog.queries("q1_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

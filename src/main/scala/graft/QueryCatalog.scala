@@ -493,6 +493,16 @@ object QueryCatalog {
       CellOps.compactCells(cov, res = 8, minRes = 4)
     }),
 
+    // ---- G13: global Moran's I over the res-5 density grid --------------
+    // spatial autocorrelation as exact integer components (num/den/W/N);
+    // ONE corpus scan into a cell histogram, then cell-sized self-join
+    "moran_i" -> ((s, dir) => CellOps.moranI(
+      docs(s, dir).select(dLat.as("lat"), dLon.as("lon")), res = 5)),
+
+    // ---- G14: grid-DBSCAN hotspot clusters at res 4, density ≥ 3 --------
+    "cell_clusters" -> ((s, dir) => CellOps.cellClusters(
+      docs(s, dir).select(dLat.as("lat"), dLon.as("lon")), res = 4, minCount = 3)),
+
     "kring" -> ((s, dir) =>
       docs(s, dir).where(col("doc_id") < 50)
         .select(col("doc_id"), dLat.as("lat"), dLon.as("lon"))
@@ -590,6 +600,18 @@ object QueryCatalog {
       docs(s, dir).select(col("doc_id"))
         .join(cc.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+    }),
+
+    // canonical keeper per near-dup cluster (longest member, id ties) —
+    // the hot-key-safe min-struct argmax, one map-side-combined pass
+    "dedup_keep_best" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(docs(s, dir), maxHamming = 12,
+        collapseThreshold = memoizedCollapse(s, dir))
+      val cc = Dedup.connectedComponents(pairs)
+      val clusters = docs(s, dir).select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+      Dedup.keepBest(clusters, docs(s, dir))
     }),
     // banded sign-LSH near-dup pairs (6 bands of 4 sign bits; candidate iff
     // SOME band key matches → exact cosine verify). The oracle reproduces
@@ -925,6 +947,10 @@ object QueryCatalog {
     // inverted index as a relation: (term, doc_id, tf) posting rows — one
     // map-side-combined aggregation over the exploded token stream
     "inverted_index" -> ((s, dir) => Search.invertedIndex(docs(s, dir))),
+
+    // per-doc top-5 keywords by integer tf-idf (bit-length idf — exact,
+    // no floating log); keyword enrichment before clustering/routing
+    "tfidf_topk" -> ((s, dir) => TextOps.tfidfKeywords(docs(s, dir), k = 5)),
 
     // BM25 ranked retrieval: 4 fixed queries, top-10 docs each. Rational
     // idf + per-term micro-unit flooring keep the per-doc score an exact
@@ -1965,6 +1991,24 @@ object QueryCatalog {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY 1, 2""".stripMargin,
 
+    // integer tf-idf: idf = floor(log2(N/df)) via the bit-length identity
+    // (the lm_perplexity twin); ties by term in memcmp order
+    "tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT t.doc_id, t.term, t.tf,
+        |    t.tf * (length(bin(n.n // d.df)) - 1) AS score
+        |  FROM t JOIN d USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 5""".stripMargin,
+
     // the scoring expression is the SAME IEEE tree Search.bm25TopK builds
     // (constants interpolated from the identical Scala doubles), floored to
     // micro-units per term BEFORE the sum so the per-doc score is an exact
@@ -2437,6 +2481,31 @@ object QueryCatalog {
          |SELECT d.doc_id, CAST(coalesce(c.rep, d.doc_id) AS BIGINT) AS cluster_rep
          |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
 
+    // keeper selection replayed independently as a window over the same
+    // recursive-walk clustering (the Spark side is a min-struct groupBy)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($sqlSimhashPairs),
+         |edges AS (
+         | SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(node, label) AS (
+         | SELECT u, u FROM edges
+         | UNION
+         | SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v),
+         |comp AS (SELECT node, min(label) AS rep FROM walk GROUP BY node),
+         |cl AS (SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep,
+         |   length(d.text) AS n_chars
+         | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |r AS (SELECT doc_id, cluster_rep, n_chars,
+         |   row_number() OVER (PARTITION BY cluster_rep
+         |     ORDER BY n_chars DESC, doc_id) AS rk,
+         |   count(*) OVER (PARTITION BY cluster_rep) AS n_members
+         | FROM cl)
+         |SELECT CAST(cluster_rep AS BIGINT) AS cluster_rep, doc_id AS keeper,
+         | CAST(n_chars AS BIGINT) AS keeper_chars,
+         | CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rk = 1""".stripMargin,
+
     "ann_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
@@ -2889,6 +2958,53 @@ object QueryCatalog {
     // the result set (coverClassify's margin-guard contract)
     "pip_cell_join" ->
       s"SELECT doc_id FROM documents WHERE ${insideSql(concaveL, sqlLat, sqlLon)}",
+
+    // Moran's I components: DuckDB widens the d·d sums to HUGEINT; the
+    // Spark-side overflow guard certifies the BIGINT casts are lossless
+    "moran_i" -> {
+      val res = 5
+      s"""WITH pts AS (SELECT ${sqlXIndex(sqlLon, res)} AS xi,
+         |   ${sqlYIndex(sqlLat, res)} AS yi FROM documents),
+         |h AS (SELECT xi, yi, count(*) AS x FROM pts GROUP BY 1, 2),
+         |st AS (SELECT count(*) AS n, sum(x) AS s FROM h),
+         |d AS (SELECT xi, yi, st.n * h.x - st.s AS d FROM h CROSS JOIN st),
+         |offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+         |pr AS (SELECT a.d AS da, b.d AS db
+         | FROM d a CROSS JOIN offs o
+         | JOIN d b ON b.xi = a.xi + o.dx AND b.yi = a.yi + o.dy),
+         |nu AS (SELECT CAST(sum(da * db) AS BIGINT) AS num,
+         |   CAST(count(*) AS BIGINT) AS w_pairs FROM pr),
+         |de AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM d)
+         |SELECT CAST(st.n AS BIGINT) AS n_cells, nu.w_pairs, nu.num, de.den
+         |FROM st, nu, de""".stripMargin
+    },
+
+    // grid-DBSCAN clusters: dense cells + forward-half adjacency edges,
+    // recursive-walk labeling (the dedup_clusters oracle family), Morton
+    // ids via the interleave twin
+    "cell_clusters" -> {
+      val res = 4; val minCount = 3
+      s"""WITH RECURSIVE pts AS (SELECT ${sqlXIndex(sqlLon, res)} AS xi,
+         |   ${sqlYIndex(sqlLat, res)} AS yi FROM documents),
+         |h AS (SELECT xi, yi, count(*) AS x FROM pts GROUP BY 1, 2),
+         |dn AS (SELECT xi, yi, x, ${sqlInterleave("xi", "yi", res)} AS cell
+         | FROM h WHERE x >= $minCount),
+         |offs(dx, dy) AS (VALUES (1,-1),(1,0),(1,1),(0,1)),
+         |e0 AS (SELECT a.cell AS u, b.cell AS v
+         | FROM dn a CROSS JOIN offs o
+         | JOIN dn b ON b.xi = a.xi + o.dx AND b.yi = a.yi + o.dy),
+         |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |walk(node, label) AS (
+         | SELECT u, u FROM edges
+         | UNION
+         | SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v),
+         |comp AS (SELECT node, min(label) AS rep FROM walk GROUP BY node),
+         |lab AS (SELECT coalesce(c.rep, d.cell) AS cluster, d.x
+         | FROM dn d LEFT JOIN comp c ON c.node = d.cell)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         | CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(x) AS BIGINT) AS mass
+         |FROM lab GROUP BY 1""".stripMargin
+    },
 
     // pyramid rollup: res-8 counts from the same x/y-index interleave the
     // cell_id oracle uses, then `cell // 4` parent sums per level

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.CellIndex
 
@@ -243,6 +244,114 @@ object CellOps {
     grid.where(cand)
       .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"),
         interior.as("interior"))
+  }
+
+  /** Global Moran's I spatial autocorrelation over per-cell point counts
+    * (queen/8-neighbor contiguity at `res`) — the clustered-vs-dispersed
+    * preflight of spatial statistics, emitted as EXACT integer components
+    * instead of a rounded float: with N occupied cells, total mass S, and
+    * scaled deviations d_i = N·x_i − S (so Σd_i = 0 and no rational mean
+    * appears anywhere), the result is ONE row
+    * `(n_cells, w_pairs, num = Σ_{i~j} d_i·d_j, den = Σ d_i²)` and
+    * Moran's I = (N·num)/(W·den) is an exact ratio the caller evaluates —
+    * the hash gate compares integers, the pagerank micro-unit family.
+    * Overflow fails loudly (the pageRank guard discipline): the d_i·d_j
+    * sums are bounded by 8·N·max|d|² and checked against Long.MaxValue
+    * before the join, so a skewed corpus errors instead of silently
+    * diverging from DuckDB's HUGEINT-widening sums.
+    *
+    * Scale shape: the corpus is scanned ONCE into a map-side-combined
+    * (xi, yi) count (persisted — usual cache contract: caller clearCache
+    * after the terminal action); everything downstream is
+    * occupied-cell-sized — an 8-row offset explode, a (xi+dx, yi+dy)
+    * hash self-equi-join (edge cells simply find fewer partners: no
+    * ring/wraparound semantics to replay in an oracle), and two scalar
+    * aggregations. The two 1-row stat reads are bounded driver actions
+    * (codebook discipline).
+    *
+    * points: columns `lat`, `lon`. */
+  /** Per-cell point counts on the (xi, yi) index grid at `res` — ONE
+    * map-side-combined corpus aggregation; the clamped floor formulas are
+    * the Column twins of [[graft.core.CellIndex.xIndex]]/yIndex (same
+    * IEEE trees as the oracle's sqlXIndex/sqlYIndex). */
+  private def gridCounts(points: DataFrame, res: Int): DataFrame = {
+    val n = (1L << res).toDouble
+    val xiC = least(greatest(floor((col("lon") + lit(180.0)) / lit(360.0) * lit(n))
+      .cast("long"), lit(0L)), lit((1L << res) - 1))
+    val yiC = least(greatest(floor((lit(90.0) - col("lat")) / lit(180.0) * lit(n))
+      .cast("long"), lit(0L)), lit((1L << res) - 1))
+    points.select(xiC.as("xi"), yiC.as("yi"))
+      .groupBy("xi", "yi").agg(count(lit(1)).as("x"))
+  }
+
+  def moranI(points: DataFrame, res: Int): DataFrame = {
+    val hist = gridCounts(points, res)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val st = hist.agg(count(lit(1)).as("n"), sum("x").as("s"), max("x").as("mx")).head()
+    val (nCells, s, maxX) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    require(nCells > 0, "moranI: empty corpus")
+    // max|d| ≤ max(N·maxX − S, S − N·1); num ≤ 8·N·max|d|², den ≤ N·max|d|²
+    val maxD = (BigInt(nCells) * BigInt(maxX) - BigInt(s)).max(BigInt(s) - BigInt(nCells))
+    require(BigInt(8) * nCells * maxD * maxD <= BigInt(Long.MaxValue),
+      s"moranI: deviation products would overflow 64-bit (N=$nCells, max|d|=$maxD)")
+    val d = hist.select(col("xi"), col("yi"),
+      (lit(nCells) * col("x") - lit(s)).as("d"))
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    val shifted = d.select(col("xi"), col("yi"), col("d"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
+      .select((col("xi") + col("o.dx")).as("nxi"),
+        (col("yi") + col("o.dy")).as("nyi"), col("d"))
+    val pairs = shifted.join(
+      d.select(col("xi").as("nxi"), col("yi").as("nyi"), col("d").as("d2")),
+      Seq("nxi", "nyi"))
+    pairs.agg(sum(col("d") * col("d2")).as("num"), count(lit(1)).as("w_pairs"))
+      .crossJoin(d.agg(sum(col("d") * col("d")).as("den")))
+      .select(lit(nCells).as("n_cells"), col("w_pairs"), col("num"), col("den"))
+  }
+
+  /** Grid-density hotspot clusters — DBSCAN over the cell grid (region
+    * growing): cells at `res` holding ≥ `minCount` points are dense, and
+    * 8-neighbor-adjacent dense cells merge into clusters via
+    * [[graft.operators.Dedup.connectedComponents]] (min-cell-id labels,
+    * hybrid fast path included). Emits one row per cluster:
+    * `(cluster, n_cells, mass)` — the urban-area / hotspot-region
+    * extraction a geo pipeline runs before per-region routing.
+    *
+    * Scale shape: ONE corpus scan into the map-side-combined cell
+    * histogram ([[gridCounts]]); everything downstream is DENSE-CELL
+    * sized — a forward-half 4-offset explode + (xi+dx, yi+dy) hash
+    * self-equi-join builds each undirected adjacency edge exactly once
+    * (CC symmetrizes internally), and the CC loop's shuffles are sized
+    * to that graph, not the corpus. Dense cells re-encode to Morton ids
+    * through the cell_id codegen path on their centers (0.5-index-unit
+    * margin, bit-safe — the [[convexFill]] trick). Persisted frames
+    * follow the usual cache contract (caller clearCache after the
+    * terminal action).
+    *
+    * points: columns `lat`, `lon`. */
+  def cellClusters(points: DataFrame, res: Int, minCount: Long): DataFrame = {
+    val n = (1L << res).toDouble
+    val lonC = (col("xi").cast("double") + lit(0.5)) / lit(n) * lit(360.0) - lit(180.0)
+    val latC = lit(90.0) - (col("yi").cast("double") + lit(0.5)) / lit(n) * lit(180.0)
+    val dense = gridCounts(points, res).where(col("x") >= lit(minCount))
+      .select(col("xi"), col("yi"), col("x"),
+        graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val offs = Seq((1, -1), (1, 0), (1, 1), (0, 1)) // forward half of the 8-neighborhood
+    val edges = dense.select(col("cell").as("doc_a"), col("xi"), col("yi"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
+      .select(col("doc_a"), (col("xi") + col("o.dx")).as("nxi"),
+        (col("yi") + col("o.dy")).as("nyi"))
+      .join(dense.select(col("xi").as("nxi"), col("yi").as("nyi"),
+        col("cell").as("doc_b")), Seq("nxi", "nyi"))
+      .select("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges)
+    dense.join(cc.select(col("node").as("cell"), col("label")), Seq("cell"), "left")
+      .select(coalesce(col("label"), col("cell")).as("cluster"), col("x"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_cells"), sum("x").as("mass"))
   }
 
   /** Compact a single-resolution cell cover to canonical mixed

@@ -814,4 +814,28 @@ object Dedup {
       .join(pf.distinct(), Seq("fp"), "left_anti")
     definite.unionByName(verified.select("doc_id", "fp")).select("doc_id", "fp")
   }
+
+  /** Canonical keeper selection — what a production dedup pass actually
+    * emits: per near-dup cluster, the single best member (longest text,
+    * doc_id tie-break) plus the member count, not the arbitrary min-id
+    * representative. Takes the (doc_id, cluster_rep) assignment from
+    * [[connectedComponents]] (singletons map to themselves) and the
+    * corpus for the quality signal.
+    *
+    * The argmax is ONE map-side-combined aggregation via the min-struct
+    * keeper pattern ([[graft.operators.TextOps.chunkDedup]]'s trick):
+    * min(struct(-n_chars, doc_id)) is the lexicographic (quality desc,
+    * id asc) winner and partial-aggregates inside the scan task, so a
+    * boilerplate mega-cluster (millions of members on one key) never
+    * materializes a window partition — the hot-key-safe shape at
+    * 100 TB. */
+  def keepBest(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("d"))).as("m"))
+      .select(col("cluster_rep"), col("m.d").as("keeper"),
+        (-col("m.neg")).as("keeper_chars"), col("n_members"))
 }

@@ -1192,6 +1192,39 @@ object TextOps {
       .orderBy(col("n_occ").desc, col("token"))
       .limit(k)
 
+  /** Top-k salient terms per document by integer tf-idf — the keyword /
+    * topic-tag enrichment pass a curation pipeline attaches before
+    * clustering or mixture routing. idf = floor(log2(N / df)) computed
+    * exactly via the bit-length identity (`length(bin(N div df)) - 1`,
+    * the [[lmPerplexity]] trick), so scores are integers end-to-end and
+    * the cross-engine gate stays an exact hash match — no floating log
+    * anywhere. Ties cut by (score desc, term) in UTF-8 binary order,
+    * which Spark's UTF8String and DuckDB's memcmp varchar order share.
+    *
+    * Scale shape: one exploded (doc_id, term) aggregation (map-side
+    * combined inside the scan task), a vocabulary-sized df aggregation
+    * hash-equi-joined back on term (both sides term-partitioned — the
+    * exchange is reused), the 1-row corpus count attached as a broadcast
+    * (the bm25 stats shape — a deliberate dimension-table cross join),
+    * and a per-doc top-k window over doc-sized partitions. Shuffles are
+    * bounded by distinct (doc, term) pairs; nothing collects to the
+    * driver. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => WExpr}
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (length(bin(expr("n div df"))) - lit(1)).cast("long"))
+    val w = WExpr.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
   /** Within-document repetition removal (the intra-doc pass of Lee et al.
     * 2021 — self-repeated spans are the cheapest quality signal): dedupe
     * each document's OWN fixed-width token chunks, keeping the first

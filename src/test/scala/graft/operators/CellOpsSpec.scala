@@ -197,6 +197,60 @@ class CellOpsSpec extends AnyFunSuite {
     auditClassify(star, res = 7)
   }
 
+  test("moranI: gradient reads positive, checkerboard negative; components exactly replayed") {
+    import spark.implicits._
+    val res = 5; val n = (1L << res).toDouble
+    def pt(xi: Int, yi: Int) = (90.0 - (yi + 0.5) / n * 180.0, (xi + 0.5) / n * 360.0 - 180.0)
+    // smooth gradient: count = xi across an 8×8 block → neighbors similar
+    val smooth = for { xi <- 1 to 8; yi <- 1 to 8; _ <- 1 to xi } yield (xi, yi)
+    // vertical stripes: 9 on even columns, 1 on odd → most queen
+    // neighbors (dx=±1, any dy) dissimilar; a checkerboard would NOT do —
+    // its diagonal neighbors are same-colored and nearly cancel the signal
+    val checker = for { xi <- 1 to 8; yi <- 1 to 8
+      _ <- 1 to (if (xi % 2 == 0) 9 else 1) } yield (xi, yi)
+    def run(cells: Seq[(Int, Int)]) = {
+      val r = CellOps.moranI(cells.map { case (x, y) => pt(x, y) }.toDF("lat", "lon"), res).head()
+      spark.catalog.clearCache()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // plain-Scala replay of the exact integer components
+    def replay(cells: Seq[(Int, Int)]) = {
+      val cnt = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nc = cnt.size.toLong; val s = cnt.values.sum
+      val d = cnt.view.mapValues(x => nc * x - s).toMap
+      val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+      val prods = for { ((xi, yi), da) <- d.toSeq; (dx, dy) <- offs
+        db <- d.get((xi + dx, yi + dy)) } yield da * db
+      (nc, prods.size.toLong, prods.sum, d.values.map(v => v * v).sum)
+    }
+    def moran(t: (Long, Long, Long, Long)) =
+      t._1.toDouble * t._3 / (t._2.toDouble * t._4)
+    val sm = run(smooth); val ch = run(checker)
+    assert(sm == replay(smooth), s"smooth components diverge: $sm vs ${replay(smooth)}")
+    assert(ch == replay(checker), s"checker components diverge: $ch vs ${replay(checker)}")
+    assert(moran(sm) > 0.2, s"gradient should autocorrelate positively: $sm → ${moran(sm)}")
+    assert(moran(ch) < -0.2, s"checkerboard should read negative: $ch → ${moran(ch)}")
+  }
+
+  test("cellClusters: adjacent dense cells merge (diagonals too), sparse cells drop, min-id labels") {
+    import spark.implicits._
+    val res = 5; val n = (1L << res).toDouble
+    def pts(xi: Int, yi: Int, c: Int) = Seq.fill(c)(
+      (90.0 - (yi + 0.5) / n * 180.0, (xi + 0.5) / n * 360.0 - 180.0))
+    // blob A: orthogonal link (2,2)-(3,2) plus a DIAGONAL link (3,2)-(4,3);
+    // blob B: isolated dense cell; noise: a cell under the density floor
+    val data = pts(2, 2, 3) ++ pts(3, 2, 4) ++ pts(4, 3, 3) ++
+      pts(10, 10, 5) ++ pts(20, 20, 2)
+    val got = CellOps.cellClusters(data.toDF("lat", "lon"), res, minCount = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    val repA = Seq(CellIndex.encode(2, 2), CellIndex.encode(3, 2),
+      CellIndex.encode(4, 3)).min
+    val repB = CellIndex.encode(10, 10)
+    assert(got == Set((repA, 3L, 10L), (repB, 1L, 5L)),
+      s"cluster extraction wrong: $got")
+  }
+
   test("pip_cell_join: equals the brute-force strict-interior scan; exact tests hit only the sliver") {
     val dir = "/root/testdata/sf0.001"
     val poly = graft.QueryCatalog.concaveL

@@ -120,4 +120,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((0L, 3L)),
       s"all-quarters-touched pair should be missed by the blocking contract: $got")
   }
+
+  test("keepBest: longest member wins per cluster, id ties, singletons keep themselves") {
+    import spark.implicits._
+    val clusters = Seq(
+      (10L, 10L), (11L, 10L), (12L, 10L), // planted cluster of 3
+      (20L, 20L), (21L, 20L),             // 2-cluster with equal lengths
+      (30L, 30L)                          // singleton
+    ).toDF("doc_id", "cluster_rep")
+    val docs = Seq(
+      (10L, "aa bb"), (11L, "aa bb cc dd ee"), (12L, "aa"),
+      (20L, "xx yy"), (21L, "zz ww"),
+      (30L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Dedup.keepBest(clusters, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == ((11L, 14L, 3L)), s"longest member must win: $got")
+    assert(got(20L) == ((20L, 5L, 2L)), s"equal lengths tie to min doc_id: $got")
+    assert(got(30L) == ((30L, 4L, 1L)), s"singleton keeps itself: $got")
+  }
 }

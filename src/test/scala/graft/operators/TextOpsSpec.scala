@@ -353,4 +353,29 @@ class TextOpsSpec extends AnyFunSuite {
     // every doc scored; score is mean-normalized so doc length cancels
     assert(got.size == rows.size)
   }
+
+  test("tfidfKeywords: rare distinctive terms outrank ubiquitous ones; scores exact") {
+    import spark.implicits._
+    // 4 docs; "the" is in all (idf = floor(log2(4/4)) = 0 → score 0 no
+    // matter the tf); "zebra" only in doc 0 (idf = floor(log2(4)) = 2)
+    val docs = Seq(
+      (0L, "the the zebra zebra zebra the quark"),
+      (1L, "the the the boson boson"),
+      (2L, "the lepton"),
+      (3L, "the the")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfKeywords(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(4))).toMap
+    // doc 0: zebra tf=3 idf=2 → 6; quark tf=1 idf=2 → 2; the → 0
+    assert(got((0L, 1L)) == ("zebra", 6L))
+    assert(got((0L, 2L)) == ("quark", 2L))
+    assert(got((0L, 3L)) == ("the", 0L))
+    // doc 1: boson tf=2 idf=2 → 4 beats the (tf=3, idf=0)
+    assert(got((1L, 1L)) == ("boson", 4L))
+    // doc 3 has only the ubiquitous term — still emitted, score 0
+    assert(got((3L, 1L)) == ("the", 0L))
+    // ranks never exceed k and are dense per doc
+    assert(got.keys.groupBy(_._1).values.forall { ks =>
+      val rs = ks.map(_._2).toSeq.sorted; rs == (1L to rs.size.toLong) })
+  }
 }

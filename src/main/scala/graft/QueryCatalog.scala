@@ -408,6 +408,11 @@ object QueryCatalog {
     // active k weeks later — integer-exact epoch-week arithmetic
     "retention_cohorts" -> ((s, dir) => EventOps.retentionCohorts(events(s, dir))),
 
+    // point-in-time join: every click attached to the user's most recent
+    // prior-or-coincident purchase — union-marker carry-forward (one
+    // exchange, no range join); oracle = DuckDB's NATIVE ASOF LEFT JOIN
+    "asof_join" -> ((s, dir) => EventOps.asofJoin(events(s, dir), "click", "purchase")),
+
     // ordered conversion funnel signup→view→click→purchase (strictly
     // increasing microsecond timestamps advance a user)
     "funnel" -> ((s, dir) => EventOps.funnel(events(s, dir),
@@ -502,6 +507,10 @@ object QueryCatalog {
     // ---- G14: grid-DBSCAN hotspot clusters at res 4, density ≥ 3 --------
     "cell_clusters" -> ((s, dir) => CellOps.cellClusters(
       docs(s, dir).select(dLat.as("lat"), dLon.as("lon")), res = 4, minCount = 3)),
+
+    // ---- G15: focal statistics (3×3 queen sum/count per occupied cell) --
+    "cell_focal" -> ((s, dir) => CellOps.cellFocal(
+      docs(s, dir).select(dLat.as("lat"), dLon.as("lon")), res = 5)),
 
     "kring" -> ((s, dir) =>
       docs(s, dir).where(col("doc_id") < 50)
@@ -1709,6 +1718,17 @@ object QueryCatalog {
         |SELECT c.cohort_week, a.week - c.cohort_week AS k,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — a different implementation family
+    // than the Spark side's union-marker carry-forward window
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS us, min(event_id) AS rid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.us,
+        |  r.rid AS prior_event_id, l.us - r.us AS us_since
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
@@ -2977,6 +2997,22 @@ object QueryCatalog {
          |de AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM d)
          |SELECT CAST(st.n AS BIGINT) AS n_cells, nu.w_pairs, nu.num, de.den
          |FROM st, nu, de""".stripMargin
+    },
+
+    // focal statistics: 9-offset scatter-gather over occupied cells only
+    "cell_focal" -> {
+      val res = 5
+      s"""WITH pts AS (SELECT ${sqlXIndex(sqlLon, res)} AS xi,
+         |   ${sqlYIndex(sqlLat, res)} AS yi FROM documents),
+         |h AS (SELECT xi, yi, count(*) AS x FROM pts GROUP BY 1, 2),
+         |offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+         |c AS (SELECT h.xi + o.dx AS nxi, h.yi + o.dy AS nyi,
+         |   sum(h.x) AS focal_sum, count(*) AS focal_n
+         | FROM h CROSS JOIN offs o GROUP BY 1, 2)
+         |SELECT ${sqlInterleave("h.xi", "h.yi", res)} AS cell,
+         | CAST(h.x AS BIGINT) AS x, CAST(c.focal_sum AS BIGINT) AS focal_sum,
+         | CAST(c.focal_n AS BIGINT) AS focal_n
+         |FROM h JOIN c ON c.nxi = h.xi AND c.nyi = h.yi""".stripMargin
     },
 
     // grid-DBSCAN clusters: dense cells + forward-half adjacency edges,

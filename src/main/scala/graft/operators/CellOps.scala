@@ -310,6 +310,40 @@ object CellOps {
       .select(lit(nCells).as("n_cells"), col("w_pairs"), col("num"), col("den"))
   }
 
+  /** Focal (neighborhood) statistics over the cell grid — the raster-GIS
+    * "Focal Statistics" smoothing pass and the local complement to the
+    * global [[moranI]]: for every OCCUPIED cell at `res`, the sum and
+    * count of occupied cells in its 3×3 queen neighborhood (self
+    * included). Emits `(cell, x, focal_sum, focal_n)` — all exact
+    * integers, Morton ids via the bit-safe center re-encode.
+    *
+    * Scale shape: ONE corpus scan into the map-side-combined histogram
+    * ([[gridCounts]]); the convolution is a 9-offset explode +
+    * (xi+dx, yi+dy) hash self-equi-join of the OCCUPIED-cell table —
+    * work is 9·|occupied cells| rows, never corpus-sized, and empty
+    * neighbors cost nothing (they simply don't match, the sparse-grid
+    * win over a dense raster convolution). */
+  def cellFocal(points: DataFrame, res: Int): DataFrame = {
+    val n = (1L << res).toDouble
+    val lonC = (col("xi").cast("double") + lit(0.5)) / lit(n) * lit(360.0) - lit(180.0)
+    val latC = lit(90.0) - (col("yi").cast("double") + lit(0.5)) / lit(n) * lit(180.0)
+    val hist = gridCounts(points, res)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+      (1, -1), (1, 0), (1, 1))
+    val contrib = hist.select(col("xi"), col("yi"), col("x"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
+      .select((col("xi") + col("o.dx")).as("nxi"),
+        (col("yi") + col("o.dy")).as("nyi"), col("x"))
+      .groupBy("nxi", "nyi")
+      .agg(sum("x").as("focal_sum"), count(lit(1)).as("focal_n"))
+    hist.join(contrib,
+        col("xi") === col("nxi") && col("yi") === col("nyi"))
+      .select(graft.functions.CellFunctions.cell_id(latC, lonC, lit(res)).as("cell"),
+        col("x"), col("focal_sum"), col("focal_n"))
+  }
+
   /** Grid-density hotspot clusters — DBSCAN over the cell grid (region
     * growing): cells at `res` holding ≥ `minCount` points are dense, and
     * 8-neighbor-adjacent dense cells merge into clusters via

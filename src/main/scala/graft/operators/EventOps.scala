@@ -161,4 +161,42 @@ object EventOps {
     cached.foreach(_.unpersist()) // counts are materialized driver values
     counts.toSeq.toDF("step", "step_type", "n_users")
   }
+
+  /** Point-in-time (as-of) join: attach to every `leftType` event the most
+    * recent `rightType` event with right.ts ≤ left.ts for the same user —
+    * the temporal join a feature-store backfill runs ("state as of event
+    * time"). Spark-first shape: NOT a range join (whose sort-merge
+    * candidate set explodes quadratically on hot keys) but the
+    * union-marker carry-forward — tag both sides, union, ONE exchange on
+    * the key, per-key sort by (us, side) with right rows ordered before
+    * coincident left rows (inclusive semantics), and
+    * last(payload, ignoreNulls) over an unbounded-preceding row frame.
+    * The right side pre-collapses to one deterministic row per
+    * (user, us) — min event_id — so matches are unique and tie-free on
+    * both engines. One shuffle, per-key state = one sorted pass; the
+    * hottest task is one user's history, the operator's irreducible
+    * sequential unit. The oracle replays it with DuckDB's NATIVE
+    * ASOF LEFT JOIN — a genuinely independent implementation family.
+    * Emits (event_id, user_id, us, prior_event_id, us_since); the prior
+    * columns are NULL when no earlier right event exists. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val l = events.where(col("event_type") === leftType)
+      .select(col("user_id"), us.as("us"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("long").as("r_id"), lit(null).cast("long").as("r_us"))
+    val r = events.where(col("event_type") === rightType)
+      .select(col("user_id"), us.as("us"), col("event_id"))
+      .groupBy("user_id", "us").agg(min("event_id").as("rid"))
+      .select(col("user_id"), col("us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("rid").as("r_id"),
+        col("us").as("r_us"))
+    val w = WExpr.partitionBy("user_id").orderBy(col("us"), col("side"))
+      .rowsBetween(WExpr.unboundedPreceding, WExpr.currentRow)
+    l.unionByName(r)
+      .withColumn("prior_event_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("prior_us", last(col("r_us"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("prior_event_id"), (col("us") - col("prior_us")).as("us_since"))
+  }
 }

@@ -251,6 +251,23 @@ class CellOpsSpec extends AnyFunSuite {
       s"cluster extraction wrong: $got")
   }
 
+  test("cellFocal: 3×3 sums/counts over occupied cells only; isolated cells see themselves") {
+    import spark.implicits._
+    val res = 5; val n = (1L << res).toDouble
+    def pt(xi: Int, yi: Int, c: Int) = Seq.fill(c)(
+      (90.0 - (yi + 0.5) / n * 180.0, (xi + 0.5) / n * 360.0 - 180.0))
+    // a 3-cell row with distinct masses + one isolated far cell
+    val data = pt(2, 2, 1) ++ pt(3, 2, 2) ++ pt(4, 2, 4) ++ pt(9, 9, 5)
+    val got = CellOps.cellFocal(data.toDF("lat", "lon"), res).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    spark.catalog.clearCache()
+    assert(got(CellIndex.encode(2, 2)) == ((1L, 3L, 2L)))
+    assert(got(CellIndex.encode(3, 2)) == ((2L, 7L, 3L)))
+    assert(got(CellIndex.encode(4, 2)) == ((4L, 6L, 2L)))
+    assert(got(CellIndex.encode(9, 9)) == ((5L, 5L, 1L)), s"isolated cell: $got")
+    assert(got.size == 4)
+  }
+
   test("pip_cell_join: equals the brute-force strict-interior scan; exact tests hit only the sliver") {
     val dir = "/root/testdata/sf0.001"
     val poly = graft.QueryCatalog.concaveL

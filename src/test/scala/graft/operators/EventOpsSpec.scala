@@ -111,4 +111,34 @@ class EventOpsSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got == Map(1 -> ("A", 1L), 2 -> ("B", 0L)))
   }
+
+  test("asofJoin: latest prior-or-coincident match, nulls before first right, tie-free dedup") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(1700000000000L + ms)
+    val events = Seq(
+      // user 1: purchases at 10s and 20s (the 20s one DUPLICATED — min
+      // event_id 103 must win); clicks straddle every regime
+      (101L, t(10000), 1L, "purchase"),
+      (103L, t(20000), 1L, "purchase"),
+      (104L, t(20000), 1L, "purchase"),
+      (201L, t(5000), 1L, "click"),   // before any purchase → NULL
+      (202L, t(10000), 1L, "click"),  // coincident → inclusive match @10s
+      (203L, t(15000), 1L, "click"),  // between → @10s
+      (204L, t(25000), 1L, "click"),  // after the dup pair → id 103
+      // user 2: clicks but no purchases → NULL prior
+      (301L, t(12000), 2L, "click"),
+      // user 3's purchase must not leak into user 2
+      (302L, t(1000), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.asofJoin(events, "click", "purchase").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(201L) == ((None, None)), s"click before any purchase: $got")
+    assert(got(202L) == ((Some(101L), Some(0L))), s"coincident must match inclusively: $got")
+    assert(got(203L) == ((Some(101L), Some(5000000L))), got.toString)
+    assert(got(204L) == ((Some(103L), Some(5000000L))), s"dup right rows must dedup to min id: $got")
+    assert(got(301L) == ((None, None)), s"cross-user leak: $got")
+    assert(got.size == 5)
+  }
 }

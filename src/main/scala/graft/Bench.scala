@@ -124,7 +124,7 @@ object Bench {
       "polygon_fill", "token_drift", "cell_pyramid",
       "ivfpq_rerank", "polygon_fill_concave", "lm_perplexity", "geo_semantic_topk",
       "pip_cell_join", "tfidf_topk", "dedup_keep_best", "moran_i", "cell_clusters",
-      "asof_join", "cell_focal")
+      "asof_join", "cell_focal", "domain_hits")
     // min-of-N per query: this host's CPU-steal bursts inflate single-shot
     // walls by up to 10× (BENCH/BASELINE.md), and one burst used to taint a
     // whole round's recorded artifact. Two samples spaced a full catalog

@@ -78,6 +78,47 @@ object QueryCatalog {
       s"SELECT node, CAST(rank_u AS BIGINT) AS rank_u FROM r$iters"
   }
 
+  /** Unrolled HITS oracle: per round, hub sums over out-edges then an
+    * integer max-rescale to 1e6, authority sums over in-edges likewise —
+    * `//` on non-negative values matches Spark's `div`; DuckDB's SUM
+    * widens to HUGEINT but the engine-side 1e12 headroom guard certifies
+    * the final BIGINT casts are lossless. */
+  private def hitsSql(iters: Int): String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // 2-3× (values + the max-rescale scalar subquery + the next round),
+    // and DuckDB's default inlining would re-evaluate the whole chain
+    // per reference — exponential in rounds (and it re-opens the parquet
+    // per inlined scan, tripping the fd limit before it trips the clock)
+    val base =
+      """links AS MATERIALIZED (
+        | SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+        | UNION ALL
+        | SELECT doc_id % 97, (doc_id * 53 + 11) % 97 FROM documents),
+        |e AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM links WHERE src <> dst GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |a0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS v FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""hf$k AS MATERIALIZED (SELECT n.node, COALESCE(SUM(e.w * a.v), 0) AS v
+         | FROM nodes n
+         | LEFT JOIN e ON e.src = n.node
+         | LEFT JOIN a${k - 1} a ON a.node = e.dst
+         | GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT node, v * 1000000 // (SELECT max(v) FROM hf$k) AS v FROM hf$k),
+         |af$k AS MATERIALIZED (SELECT n.node, COALESCE(SUM(e.w * h.v), 0) AS v
+         | FROM nodes n
+         | LEFT JOIN e ON e.dst = n.node
+         | LEFT JOIN h$k h ON h.node = e.src
+         | GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT node, v * 1000000 // (SELECT max(v) FROM af$k) AS v FROM af$k)""".stripMargin
+    }
+    s"WITH $base,\n${rounds.mkString(",\n")}\n" +
+      s"""SELECT n.node, CAST(h.v AS BIGINT) AS hub_u, CAST(a.v AS BIGINT) AS auth_u
+         |FROM nodes n
+         |JOIN h$iters h ON h.node = n.node
+         |JOIN a$iters a ON a.node = n.node""".stripMargin
+  }
+
   /** Convex-fill oracle: the identical bbox index bounds (computed by the
     * same driver arithmetic), the identical half-plane trees over cell
     * CENTERS, and a direct xi/yi interleave where the engine re-encodes
@@ -765,6 +806,11 @@ object QueryCatalog {
     // before the loop — iteration shuffles are graph-sized
     "domain_pagerank" -> ((s, dir) =>
       Graph.pageRank(Graph.domainLinkGraph(docs(s, dir)), iters = 10)),
+
+    // HITS hubs & authorities over the same domain graph — integer
+    // max-normalized rounds (the pagerank determinism family)
+    "domain_hits" -> ((s, dir) =>
+      Graph.hits(Graph.domainLinkGraph(docs(s, dir)), iters = 10)),
 
     // ---- text analysis -----------------------------------------------------
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
@@ -2294,6 +2340,8 @@ object QueryCatalog {
         |FROM t LEFT JOIN sco ON sco.doc_id = t.doc_id""".stripMargin,
 
     "domain_pagerank" -> pageRankSql(10),
+
+    "domain_hits" -> hitsSql(10),
 
     // analytic audio-hash replay: the engine DECODES real WAVs; the oracle
     // re-derives every sampled 16-bit value from the closed-form synth

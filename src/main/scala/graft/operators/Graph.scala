@@ -132,6 +132,108 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in exact integer
+    * micro-units — the query-independent link-analysis complement to
+    * [[pageRank]]: hubs point at good authorities, authorities are
+    * pointed at by good hubs. Per round, h_i = Σ_{i→j} w·a_j and
+    * a_i = Σ_{j→i} w·h_i, each rescaled so the round's maximum is
+    * exactly 1 000 000 (integer floor division on both engines — all
+    * values are non-negative, so Spark `div` and DuckDB `//` agree);
+    * the max-normalization replaces the classical L2 norm, which would
+    * need a square root no integer oracle can replay. Ten distributed
+    * rounds hash-match ten unrolled oracle CTE rounds with no float
+    * tolerance anywhere — the pageRank determinism family.
+    *
+    * Hybrid like [[pageRank]]: an edge table measured ≤ `localEdgeLimit`
+    * runs all rounds in ONE task with identical arithmetic (GraphSpec
+    * pins fast == loop); larger graphs keep the distributed loop —
+    * per round two edge-sized joins + map-side integer sums + a
+    * node-sized left join, lineage checkpoint-truncated. Overflow fails
+    * loudly up front: scores are ≤ 1e6 after every rescale, so the guard
+    * is static — max per-node in/out weight ≤ Long.MaxValue / 1e12.
+    *
+    * edges: (src, dst, w). Returns (node, hub_u, auth_u). */
+  def hits(edges: DataFrame, iters: Int = 10,
+           localEdgeLimit: Long = LocalPrEdgeLimit): DataFrame = {
+    require(iters >= 1, "hits: need at least one round")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val ew = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    val nEdges = ew.count()
+    require(nEdges > 0, "hits: empty edge table")
+    val degBound = math.max(
+      ew.groupBy("src").agg(sum("w").as("s")).agg(max("s")).head().getLong(0),
+      ew.groupBy("dst").agg(sum("w").as("s")).agg(max("s")).head().getLong(0))
+    // score ≤ 1e6 post-rescale ⇒ unnormalized sums ≤ degBound·1e6 and the
+    // ·1e6 rescale numerator ≤ degBound·1e12 — guard once, loudly
+    require(degBound <= Long.MaxValue / 1000000000000L,
+      s"hits: per-node weight $degBound would overflow the 1e12 headroom — rescale w")
+
+    if (nEdges <= localEdgeLimit) {
+      val idType = edges.schema(edges.schema.fieldIndex("src")).dataType
+      val out = ew.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long"))
+        .as[(Long, Long, Long)].repartition(1)
+        .mapPartitions { it =>
+          val es = it.toArray
+          val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+          var a = ns.map(_ -> 1000000L).toMap
+          var h = Map.empty[Long, Long]
+          for (_ <- 1 to iters) {
+            val hm = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+            es.foreach { case (u, v, w) => hm(u) += w * a(v) }
+            val mh = ns.iterator.map(n => hm(n)).max
+            h = ns.map(n => n -> hm(n) * 1000000L / mh).toMap
+            val am = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+            es.foreach { case (u, v, w) => am(v) += w * h(u) }
+            val ma = ns.iterator.map(n => am(n)).max
+            a = ns.map(n => n -> am(n) * 1000000L / ma).toMap
+          }
+          ns.iterator.map(n => (n, h(n), a(n)))
+        }
+        .toDF("node", "hub_u", "auth_u")
+        .select(col("node").cast(idType).as("node"), col("hub_u"), col("auth_u"))
+        .localCheckpoint(true)
+      ew.unpersist()
+      return out
+    }
+
+    val nodesCk = nodes.localCheckpoint(true)
+    var auth = nodesCk.withColumn("v", lit(1000000L)).localCheckpoint(true)
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hRaw = ew.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), (col("w") * col("v")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val hAll = nodesCk.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+      val mh = hAll.agg(max("v")).head().getLong(0)
+      val hNext = hAll.select(col("node"),
+        expr(s"(v * 1000000) div $mh").as("v")).localCheckpoint(true)
+      hAll.unpersist()
+      if (hub != null) hub.unpersist()
+      hub = hNext
+      val aRaw = ew.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("w") * col("v")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val aAll = nodesCk.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+      val ma = aAll.agg(max("v")).head().getLong(0)
+      val aNext = aAll.select(col("node"),
+        expr(s"(v * 1000000) div $ma").as("v")).localCheckpoint(true)
+      aAll.unpersist()
+      auth.unpersist()
+      auth = aNext
+    }
+    hub.withColumnRenamed("v", "hub_u")
+      .join(auth.withColumnRenamed("v", "auth_u"), Seq("node"))
+  }
+
   /** The deterministic domain link graph of the documents corpus (two
     * outlinks per doc by fixed affine maps over a 97-domain space,
     * self-loops dropped, multiplicity kept as edge weight) — the fixture

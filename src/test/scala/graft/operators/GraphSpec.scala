@@ -74,4 +74,59 @@ class GraphSpec extends AnyFunSuite {
     val d2 = (5L * 53 + 11) % 97
     assert(g.contains((5L, d1)) && g.contains((5L, d2)))
   }
+
+  /** Independent in-memory HITS with the same integer max-normalization. */
+  private def refHits(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val ns = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var a = ns.map(_ -> 1000000L).toMap
+    var h = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val hm = ns.map(n => n -> edges.collect {
+        case (u, v, w) if u == n => w * a(v) }.sum).toMap
+      val mh = hm.values.max
+      h = hm.view.mapValues(v => v * 1000000L / mh).toMap
+      val am = ns.map(n => n -> edges.collect {
+        case (u, v, w) if v == n => w * h(u) }.sum).toMap
+      val ma = am.values.max
+      a = am.view.mapValues(v => v * 1000000L / ma).toMap
+    }
+    ns.map(n => n -> ((h(n), a(n)))).toMap
+  }
+
+  test("hits: hub/authority structure on a planted bipartite core; fast == loop == reference") {
+    import spark.implicits._
+    // hub nodes 0..2 all point at authorities 10..11; stragglers 20→21
+    val edges = Seq((0L, 10L, 1L), (0L, 11L, 1L), (1L, 10L, 1L), (1L, 11L, 1L),
+      (2L, 10L, 1L), (20L, 21L, 1L))
+    val got = Graph.hits(edges.toDF("src", "dst", "w"), iters = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = refHits(edges, 6)
+    assert(got == want, s"engine=$got\nreference=$want")
+    // structure: 0/1 are the best hubs (max = 1e6), 10 the best authority
+    // (3 in-links from top hubs); pure authorities have hub 0 and vice versa
+    assert(got(0L)._1 == 1000000L && got(1L)._1 == 1000000L)
+    assert(got(10L)._2 == 1000000L)
+    assert(got(2L)._1 < 1000000L && got(2L)._1 > got(20L)._1,
+      s"partial hub must rank between: $got")
+    assert(got(10L)._1 == 0L && got(0L)._2 == 0L)
+
+    // fuzzed graph: fast path == forced distributed loop == reference
+    val rnd = new scala.util.Random(13L)
+    val raw = (0 until 70).map { _ =>
+      val u = rnd.nextInt(20).toLong
+      var v = rnd.nextInt(20).toLong
+      while (v == u) v = rnd.nextInt(20).toLong
+      (u, v, (1 + rnd.nextInt(4)).toLong)
+    }
+    val fz = raw.groupBy(e => (e._1, e._2)).map { case ((u, v), es) =>
+      (u, v, es.map(_._3).sum) }.toSeq
+    val fast = Graph.hits(fz.toDF("src", "dst", "w"), iters = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val loop = Graph.hits(fz.toDF("src", "dst", "w"), iters = 8,
+        localEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ref = refHits(fz, 8)
+    assert(fast == ref, s"fast path diverged from reference")
+    assert(loop == ref, s"distributed loop diverged from reference")
+  }
 }

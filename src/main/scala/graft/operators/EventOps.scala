@@ -173,26 +173,36 @@ object EventOps {
     * last(payload, ignoreNulls) over an unbounded-preceding row frame.
     * The right side pre-collapses to one deterministic row per
     * (user, us) — min event_id — so matches are unique and tie-free on
-    * both engines. One shuffle, per-key state = one sorted pass; the
-    * hottest task is one user's history, the operator's irreducible
-    * sequential unit. The oracle replays it with DuckDB's NATIVE
-    * ASOF LEFT JOIN — a genuinely independent implementation family.
-    * Emits (event_id, user_id, us, prior_event_id, us_since); the prior
+    * both engines. ONE pruned corpus scan (the type-IN filter pushes to
+    * parquet; the side tag replaces a second scan — the funnel
+    * single-pass trick, with left rows keyed by their own event_id so
+    * only right rows collapse) and two exchanges: the tie-free
+    * pre-collapse and the key exchange the carry-forward window rides.
+    * Per-key state = one sorted pass; the hottest task is one user's
+    * history, the operator's irreducible sequential unit. The oracle
+    * replays it with DuckDB's NATIVE ASOF LEFT JOIN — a genuinely
+    * independent implementation family. Emits
+    * (event_id, user_id, us, prior_event_id, us_since); the prior
     * columns are NULL when no earlier right event exists. */
   def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
     val us = unix_micros(col("ts").cast("timestamp"))
-    val l = events.where(col("event_type") === leftType)
-      .select(col("user_id"), us.as("us"), lit(1).as("side"), col("event_id"),
-        lit(null).cast("long").as("r_id"), lit(null).cast("long").as("r_us"))
-    val r = events.where(col("event_type") === rightType)
-      .select(col("user_id"), us.as("us"), col("event_id"))
-      .groupBy("user_id", "us").agg(min("event_id").as("rid"))
-      .select(col("user_id"), col("us"), lit(0).as("side"),
-        lit(null).cast("long").as("event_id"), col("rid").as("r_id"),
-        col("us").as("r_us"))
+    val tagged = events.where(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), us.as("us"),
+        when(col("event_type") === leftType, lit(1)).otherwise(lit(0)).as("side"),
+        col("event_id"))
+    // left rows carry their event_id in the group key (stay distinct);
+    // right rows share the null key per (user, us) and collapse to min
+    val collapsed = tagged
+      .groupBy(col("user_id"), col("us"), col("side"),
+        when(col("side") === 1, col("event_id")).as("lkey"))
+      .agg(min("event_id").as("eid"))
     val w = WExpr.partitionBy("user_id").orderBy(col("us"), col("side"))
       .rowsBetween(WExpr.unboundedPreceding, WExpr.currentRow)
-    l.unionByName(r)
+    collapsed
+      .select(col("user_id"), col("us"), col("side"),
+        when(col("side") === 1, col("eid")).as("event_id"),
+        when(col("side") === 0, col("eid")).as("r_id"),
+        when(col("side") === 0, col("us")).as("r_us"))
       .withColumn("prior_event_id", last(col("r_id"), ignoreNulls = true).over(w))
       .withColumn("prior_us", last(col("r_us"), ignoreNulls = true).over(w))
       .where(col("side") === 1)

@@ -167,6 +167,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"pip_cell_join reads documents $scans times (want 1)")
   }
 
+  test("asof_join: single pruned events scan, no join operator at all") {
+    val qe = QueryCatalog.queries("asof_join")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"asof_join reads events $scans times (want 1)")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "the carry-forward form must not plan any join")
+    val formatted = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [In(event_type"),
+      "event_type IN filter not pushed to the events scan")
+  }
+
   test("q1_agg scan prunes to the aggregated columns only") {
     val p = QueryCatalog.queries("q1_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

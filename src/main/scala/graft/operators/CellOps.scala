@@ -322,7 +322,9 @@ object CellOps {
     * (xi+dx, yi+dy) hash self-equi-join of the OCCUPIED-cell table —
     * work is 9·|occupied cells| rows, never corpus-sized, and empty
     * neighbors cost nothing (they simply don't match, the sparse-grid
-    * win over a dense raster convolution). */
+    * win over a dense raster convolution). The histogram is persisted
+    * (it feeds both the scatter and the final gather) — usual cache
+    * contract: caller clearCache after the terminal action. */
   def cellFocal(points: DataFrame, res: Int): DataFrame = {
     val n = (1L << res).toDouble
     val lonC = (col("xi").cast("double") + lit(0.5)) / lit(n) * lit(360.0) - lit(180.0)

@@ -167,6 +167,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"pip_cell_join reads documents $scans times (want 1)")
   }
 
+  test("tfidf_topk: partial aggregation before every exchange; the only BNLJ is the 1-row count attach") {
+    val p = QueryCatalog.queries("tfidf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // tf and df aggregations must map-side combine (partial_count)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"tf/df aggregation not partial:\n${p.take(2000)}")
+    // the deliberate 1-row corpus-count attach is the only nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
+  test("cell_clusters: dense-cell adjacency stays an equi-join, no cartesian/BNLJ") {
+    val p = QueryCatalog.queries("cell_clusters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("asof_join: single pruned events scan, no join operator at all") {
     val qe = QueryCatalog.queries("asof_join")(spark, sf).queryExecution
     val p = qe.executedPlan.toString

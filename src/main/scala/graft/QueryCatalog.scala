@@ -19,7 +19,35 @@ import graft.sources.Fixtures
   */
 object QueryCatalog {
 
-  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  /** Scale-adaptive read of a table whose consumers do heavy per-row JVM
+    * work (typed flatMaps, digests, media decode): when the file is too
+    * small to yield one scan split per core — the guide's unsplittable-
+    * input case (§2.5): a fixture-scale parquet is ONE row group, so every
+    * per-row kernel downstream ran on 1 of the session's cores (measured:
+    * model_quality spent 1.3 of its 1.8 s in two single-task stages) —
+    * spread rows round-robin across the session's parallelism right after
+    * the scan. The condition is derived from input size vs the session's
+    * split size, so at production scale (splits ≥ cores) this adds NO
+    * exchange; the spread itself is deterministic (sort-before-repartition
+    * is on) and every consumer is partition-agnostic (hashes, joins,
+    * aggregations, range-repartitioned enumerations). */
+  private def spreadRead(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val bytes =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.mapToLong(f => java.nio.file.Files.size(f)).sum()
+          finally st.close()
+        } else java.nio.file.Files.size(p)
+      } catch { case _: Exception => Long.MaxValue }
+    val cores = s.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    if (bytes / maxSplit < cores) df.repartition(cores) else df
+  }
+
+  private def docs(s: SparkSession, dir: String) = spreadRead(s, s"$dir/documents.parquet")
 
   /** Fixed BM25 query set over the documents vocabulary (shared verbatim
     * with the oracle's VALUES list). */
@@ -291,7 +319,7 @@ object QueryCatalog {
       val cps = r.getString(0).codePoints().toArray
       (new String(Character.toChars(cps(0))), new String(Character.toChars(cps(1))))
     }
-  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  private def emb(s: SparkSession, dir: String) = spreadRead(s, s"$dir/embeddings.parquet")
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def ord(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
   private def cust(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")

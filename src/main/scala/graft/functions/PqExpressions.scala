@@ -197,6 +197,135 @@ case class PqAdcLutExpr(qvec: Expression, bucket: Expression,
     copy(qvec = newChildren(0), bucket = newChildren(1))
 }
 
+/** `pq_codes(embedding)` → array<int> of m FLAT PQ codes: code s =
+  * argmax_j (2·x_s·c_{s,j} − |c_{s,j}|²) over subspace s of the RAW vector
+  * (no coarse quantizer) — bit-identical to the
+  * [[graft.operators.Similarity]] struct-max column form (`pqCodeCol`): the
+  * same left-to-right double dot, the same driver-side |c|² literal, the
+  * same strict-`>` lowest-code tie rule. The column form put m × ksub dot
+  * subtrees into one projection; at m=8/ksub=16 that already overflows
+  * janino's 64 KB method limit once fused with the surrounding
+  * join/aggregate, so the WHOLE stage fell back to interpreted evaluation
+  * (measured: pq_encode/pq_topk logged `Whole-stage codegen disabled`,
+  * ~2 s of driver analysis + interpreted eval per run at sf0.1). As a
+  * kernel the codebook rides plain arrays and the corpus stage keeps its
+  * codegen. */
+case class PqCodesExpr(emb: Expression, books: Seq[Seq[Seq[Double]]])
+  extends Expression with CodegenFallback with PqKernel {
+
+  override def cents: Seq[Seq[Double]] = Nil
+  override def children: Seq[Expression] = Seq(emb)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (checkArrayArg(emb)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_codes needs array<float|double>, got ${emb.dataType.sql}")
+
+  override def eval(input: InternalRow): Any = {
+    val e = emb.eval(input)
+    if (e == null) return null
+    val arr = e.asInstanceOf[ArrayData]
+    val isFloat = elemIsFloat(emb)
+    val m = bookArr.length
+    val dsub = arr.numElements() / m
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val bk = bookArr(s)
+      val c2s = c2Arr(s)
+      var bestScore = Double.NegativeInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < bk.length) {
+        val c = bk(j)
+        var dot = 0.0
+        var t = 0
+        while (t < dsub) {
+          val x = if (isFloat) arr.getFloat(s * dsub + t).toDouble
+                  else arr.getDouble(s * dsub + t)
+          dot += x * c(t)
+          t += 1
+        }
+        val score = dot * 2.0 - c2s(j)
+        if (score > bestScore) { bestScore = score; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(emb = newChildren(0))
+}
+
+/** `pq_flat_lut(qvec)` → array<struct<sub:int, code:int, lut_u:long>> —
+  * the flat-PQ ADC table in the MAX form [[graft.operators.Similarity.pqTopK]]
+  * emits: lut_u(s, j) = floor((2·q_s·c_{s,j} − |c_{s,j}|²) · 1e6), no
+  * residual, no per-bucket bias (score is rank-equivalent to −||q−x̂||²,
+  * descending). Bit-identical to the literal-struct column form it
+  * replaces (same IEEE tree `dot*2.0 − c2`, same `* 1e6` then floor), the
+  * query-side twin of [[PqCodesExpr]] — tiny at runtime, but the literal
+  * tree it replaces was the other half of the janino 64 KB overflow. */
+case class PqFlatLutExpr(qvec: Expression, books: Seq[Seq[Seq[Double]]])
+  extends Expression with CodegenFallback with PqKernel {
+
+  override def cents: Seq[Seq[Double]] = Nil
+  override def children: Seq[Expression] = Seq(qvec)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sub", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("lut_u", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (checkArrayArg(qvec)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_flat_lut needs array<float|double>, got ${qvec.dataType.sql}")
+
+  override def eval(input: InternalRow): Any = {
+    val e = qvec.eval(input)
+    if (e == null) return null
+    val arr = e.asInstanceOf[ArrayData]
+    val isFloat = elemIsFloat(qvec)
+    val m = bookArr.length
+    val dsub = arr.numElements() / m
+    val out = new Array[Any](m * (if (m == 0) 0 else bookArr(0).length))
+    var idx = 0
+    var s = 0
+    while (s < m) {
+      val bk = bookArr(s)
+      val c2s = c2Arr(s)
+      var j = 0
+      while (j < bk.length) {
+        val c = bk(j)
+        var dot = 0.0
+        var t = 0
+        while (t < dsub) {
+          val x = if (isFloat) arr.getFloat(s * dsub + t).toDouble
+                  else arr.getDouble(s * dsub + t)
+          dot += x * c(t)
+          t += 1
+        }
+        val lutU = math.floor((dot * 2.0 - c2s(j)) * 1000000.0).toLong
+        out(idx) = InternalRow(s, j, lutU)
+        idx += 1
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(qvec = newChildren(0))
+}
+
 object PqFunctions {
   def pq_residual_codes(emb: Column, bucket: Column,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): Column =
@@ -207,4 +336,10 @@ object PqFunctions {
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): Column =
     Bridge.column(PqAdcLutExpr(
       Bridge.expression(qvec), Bridge.expression(bucket), cents, books))
+
+  def pq_codes(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqCodesExpr(Bridge.expression(emb), books))
+
+  def pq_flat_lut(qvec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqFlatLutExpr(Bridge.expression(qvec), books))
 }

@@ -258,33 +258,63 @@ object ChipPipeline {
     * order — deterministic ordering, never partition order. Columns mirror
     * utils.py:177-221 including the x=i / y=j quirk.
     *
-    * The id is a DISTRIBUTED enumeration (range-partition + sort, then
-    * zipWithIndex's per-partition-count + offset jobs), not an
-    * unpartitioned row_number window — the window form funnels every
-    * footprint through ONE task's sort, which is the first operator to
-    * fall over when a whole crawl's chips flow through. The sorted frame
-    * must stay persisted until the caller's terminal action: the indices
-    * are assigned against its materialized partition boundaries (same
+    * The id is a DISTRIBUTED enumeration, not an unpartitioned row_number
+    * window — the window form funnels every footprint through ONE task's
+    * sort, which is the first operator to fall over when a whole crawl's
+    * chips flow through. The enumeration is the [[TextOps.packSequences]]
+    * distributed prefix sum, pure Dataset/Catalyst (the old
+    * `.rdd.zipWithIndex()` was the codebase's last RDD hop — same two
+    * jobs, but through the row-format conversion BASELINE.json forbids):
+    * range-partition + in-partition sort, one row-count per partition to
+    * the driver, broadcast cumulative offsets back, then a
+    * partition-local scan assigns offset + local ordinal. Ids are
+    * partition-count-invariant by construction — offsets are computed
+    * against whatever boundaries the range partitioner picked. The sorted
+    * frame must stay persisted until the caller's terminal action: the
+    * ids are assigned against its materialized partition boundaries (same
     * cache contract as packSequences; Verify/Bench clearCache between
     * queries). */
   def footprints(chips: Dataset[ChipRow]): DataFrame = {
     val spark = chips.sparkSession
+    import spark.implicits._
+    // the partition id is FROZEN INTO the cached rows (spark_partition_id()
+    // is evaluated in the cache-build stage, right after the range
+    // exchange+sort) instead of read from TaskContext in the assignment
+    // pass: a downstream coalesce() — e.g. Verify's coalesce(1) writer —
+    // pipelines the assignment into ONE task whose TaskContext id is the
+    // COALESCED partition's, which would restart the offset at 0 for every
+    // merged parent. Data-carried pids are immune: rows of one parent
+    // partition stay contiguous under coalesce, so offset + reset-on-change
+    // reproduces the exact zipWithIndex enumeration in any execution shape.
     val sorted = chips.toDF()
       .select(col("raster_id"), col("i"), col("j"),
         col("minx"), col("miny"), col("maxx"), col("maxy"), col("filename"))
       .repartitionByRange(col("raster_id"), col("i"), col("j"))
       .sortWithinPartitions("raster_id", "i", "j")
+      .withColumn("pid", spark_partition_id())
+      .as[(String, Int, Int, Double, Double, Double, Double, String, Int)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val partCounts = sorted.groupBy(col("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val maxPid = if (partCounts.isEmpty) -1 else partCounts.map(_._1).max
+    val offsets = new Array[Long](maxPid + 2)
+    partCounts.foreach { case (pid, n) => offsets(pid + 1) = n }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
     // id is a Long: the whole point of the distributed enumeration is crawl
     // scale, where an Int would wrap silently past 2^31 footprints
-    val schema = sorted.schema.add("id", org.apache.spark.sql.types.LongType,
-      nullable = false)
-    val withId = sorted.rdd.zipWithIndex().map { case (r, idx) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
-    }
-    spark.createDataFrame(withId, schema)
-      .select(col("id"), col("i").as("x"), col("j").as("y"),
-        col("minx"), col("miny"), col("maxx"), col("maxy"), col("filename"))
+    sorted.mapPartitions { it =>
+      val off = bc.value
+      var curPid = -1
+      var id = 0L
+      it.map { case (rasterId, ti, tj, minx, miny, maxx, maxy, filename, pid) =>
+        if (pid != curPid) { curPid = pid; id = off(pid) }
+        val out = (id, ti, tj, minx, miny, maxx, maxy, filename)
+        id += 1
+        out
+      }
+    }.toDF("id", "x", "y", "minx", "miny", "maxx", "maxy", "filename")
   }
 
   /** Explode per-chip masks to the masks table (S7 logical sink):

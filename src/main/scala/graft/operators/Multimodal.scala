@@ -25,6 +25,14 @@ import javax.imageio.ImageIO
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write of an
+  // in-memory payload creates (and synchronizes on) a temp file. With the
+  // decode passes now spread across all cores (QueryCatalog.spreadRead)
+  // the per-call temp-file machinery serialized the tasks — 33 s of
+  // blocked task time in a 1.1 s stage at sf0.1. Memory-backed caches
+  // remove the lock and the disk round-trip; decoded bytes are identical.
+  ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
                            width: Int, height: Int, n_frames: Int,
@@ -200,7 +208,6 @@ object Multimodal {
     * plant NEAR-duplicate audio: it can move at most the one [[aHash60]]
     * bit whose comparison samples position 0. */
   def encodeWav(k: Long, perturbT0: Boolean = false): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = synthAudioLen(k)
     val pcm = new Array[Byte](n * 2)
     var t = 0
@@ -211,11 +218,25 @@ object Multimodal {
       pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
       t += 1
     }
-    val fmt = new AudioFormat(AudioSampleRate, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // canonical 44-byte RIFF/WAVE header + PCM, BYTE-IDENTICAL to what
+    // AudioSystem.write(…, WAVE, …) emits for this format (pinned by
+    // MultimodalSpec against the JDK writer): the JDK write path re-scans
+    // the audio provider registry behind a class lock on EVERY call, which
+    // serialized the spread-out synthesis tasks (54 s of blocked task time
+    // in a 1.8 s stage at sf0.1). The DECODE side stays the real JDK codec
+    // ([[decodeWav]]/[[decodeSamples]]) — the fixture writer is not part of
+    // the codec-honesty contract, the parser is.
+    val dataLen = pcm.length
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sr = AudioSampleRate.toInt // 8000 Hz, 16-bit mono PCM
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen).put(pcm)
+    bb.array()
   }
 
   /** Integer-exact audio statistics from one decoded WAV payload: the
@@ -225,9 +246,51 @@ object Multimodal {
   case class AudioStats(sampleRate: Int, nSamples: Int, sumSamples: Long,
                         sumSquares: Long, zeroCrossings: Int)
 
+  /** The JDK's audio file readers, resolved ONCE per JVM:
+    * `AudioSystem.getAudioInputStream` re-scans the provider registry
+    * behind a class lock on every call, which serialized the spread-out
+    * decode tasks (the write-side had the same issue — see [[encodeWav]]).
+    * This is the same SPI list AudioSystem consults, tried in the same
+    * try-each-provider way; only the per-call registry scan is hoisted
+    * (guide-§4.5 discipline: heavyweight lookup once, not per row). */
+  @transient private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+  }
+
+  /** Last reader that accepted a payload — tried FIRST on the next call.
+    * Readers are stateless parsers and each container format is accepted
+    * by exactly one of them (the PCM WAVE fixture only by WaveFileReader;
+    * WaveFloat/WaveExtensible reject format-1 PCM), so the memo cannot
+    * change which reader wins — it only skips the rejecting probes.
+    * Measured: the JDK's SoftMidiAudioFileReader probe (tried before the
+    * WAV reader in provider order) serializes 32 decode threads on the
+    * MIDI subsystem — 240 ms vs 9 ms for 5000 decodes at 32 threads. */
+  @volatile private var lastAudioReader: javax.sound.sampled.spi.AudioFileReader = null
+
+  private def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = new ByteArrayInputStream(payload)
+    val memo = lastAudioReader
+    if (memo != null) {
+      try return memo.getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset() }
+    }
+    audioReaders.foreach { r =>
+      if (r ne memo) {
+        try {
+          val ais = r.getAudioInputStream(in)
+          lastAudioReader = r
+          return ais
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset() }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed provider accepts this audio payload")
+  }
+
   def decodeWav(payload: Array[Byte]): AudioStats = {
-    import javax.sound.sampled.AudioSystem
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val ais = openAudio(payload)
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
       s"expected 16-bit mono PCM, got $fmt")
@@ -252,8 +315,7 @@ object Multimodal {
   /** Decoded 16-bit samples of one WAV payload (real RIFF parse via
     * javax.sound.sampled — shared decode core with [[decodeWav]]). */
   def decodeSamples(payload: Array[Byte]): Array[Int] = {
-    import javax.sound.sampled.AudioSystem
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val ais = openAudio(payload)
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
       s"expected 16-bit mono PCM, got $fmt")

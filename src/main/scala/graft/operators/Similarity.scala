@@ -212,16 +212,21 @@ object Similarity {
   /** PQ encode: each vector compresses to m small codes — code s is the
     * argmin-L2 centroid of subspace s (64 floats → 8 bytes at m=8/ksub=16,
     * the memory trade that lets a 100-TB embedding column fit a RAM-resident
-    * ANN index). Zero shuffle: one codegen scan emitting (vec_id, sub,
-    * code) rows. `lloydRounds` refines the sampled codebooks per subspace
-    * ([[pqRefine]]) — leave 0 for near-uniform data. */
+    * ANN index). Zero shuffle: one scan emitting (vec_id, sub, code) rows.
+    * The code assignment is the [[graft.functions.PqCodesExpr]] kernel
+    * (bit-identical to the old m × ksub struct-max column form — same IEEE
+    * dot tree, same tie rule — pinned by PqSpec): the literal-struct form
+    * overflowed janino's 64 KB method limit once fused with the downstream
+    * count/join stage, silently dropping the WHOLE corpus stage out of
+    * whole-stage codegen (guide §4). `lloydRounds` refines the sampled
+    * codebooks per subspace ([[pqRefine]]) — leave 0 for near-uniform
+    * data. */
   def pqEncode(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
                dim: Int = 64, lloydRounds: Int = 0): DataFrame = {
     val books = pqRefine(vectors, pqCodebooks(vectors, m, ksub, dim), lloydRounds, dim)
-    val dsub = dim / m
-    val codeCols = (0 until m).map(s => pqCodeCol(books, s, dsub))
     vectors.select(col("vec_id"),
-        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+        posexplode(graft.functions.PqFunctions.pq_codes(col("embedding"), books))
+          .as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
   }
 
@@ -243,22 +248,18 @@ object Similarity {
     // codebooks (a per-call refine would let float-mean nondeterminism
     // hand them subtly different ones)
     val books = pqRefine(vectors, pqCodebooks(vectors, m, ksub, dim), lloydRounds, dim)
-    val dsub = dim / m
+    // both dense steps are kernels, not literal-struct column trees: the
+    // old form's m × ksub dot subtrees overflowed janino's 64 KB method
+    // limit when fused with the scoring join/aggregate, dropping the
+    // corpus-sided stage out of whole-stage codegen AND costing ~2 s of
+    // driver analysis per run (guide §4). Values are bit-identical
+    // (PqSpec pins both kernels against the literal form).
     val encoded = vectors.select(col("vec_id"),
-        posexplode(array((0 until m).map(s => pqCodeCol(books, s, dsub)): _*))
+        posexplode(graft.functions.PqFunctions.pq_codes(col("embedding"), books))
           .as(Seq("sub", "code")))
       .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
-    val lutEntries = (0 until m).flatMap { s =>
-      val qsub = slice(col("qvec"), s * dsub + 1, dsub)
-      books(s).zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => x * x).sum
-        struct(lit(s).as("sub"), lit(j).as("code"),
-          floor((graft.functions.VectorOps.dot(qsub, array(c.map(lit(_)): _*)) * lit(2.0)
-            - lit(c2)) * lit(1e6)).as("lut_u"))
-      }
-    }
     val lut = queries.select(col("qid"),
-        explode(array(lutEntries: _*)).as("e"))
+        explode(graft.functions.PqFunctions.pq_flat_lut(col("qvec"), books)).as("e"))
       .select(col("qid"), col("e.sub").as("sub"), col("e.code").as("code"),
         col("e.lut_u").as("lut_u"))
     val scored = encoded.join(broadcast(lut), Seq("sub", "code"))

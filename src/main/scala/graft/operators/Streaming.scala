@@ -68,14 +68,26 @@ object Streaming {
       .parquet(sfDir)
   }
 
-  /** Tumbling 1-hour event-time windows per event_type, complete mode. */
-  def eventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Tumbling 1-hour event-time windows per event_type, complete mode.
+    * The stateful aggregation runs at a state-sized shuffle width (the
+    * [[streamStreamJoin]]/[[sessionWindows]] lesson, applied here last):
+    * every shuffle partition of a stateful operator is a state-store
+    * instance paying per-batch snapshot/commit files, and complete-mode
+    * window-count state is (windows × types)-sized — thousands of rows —
+    * so 32 store instances are pure fixed cost. A deployment raises
+    * `statePartitions` with actual state volume. */
+  def eventCounts(spark: SparkSession, sfDir: String,
+                  statePartitions: Int = 4): DataFrame = {
     val agg = tableStream(spark, sfDir, "events")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         floor(sum("value") * lit(1000000.0)).cast("long").as("sum_value_fp"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value_fp"))
-    runToMemory(agg)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      runToMemory(agg)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Watermarked append-mode variant with checkpointing — used by the
@@ -85,7 +97,8 @@ object Streaming {
   def eventCountsCheckpointed(spark: SparkSession, sfDir: String,
                               checkpoint: String, sinkDir: String,
                               glob: String = "events.parquet",
-                              maxFilesPerTrigger: Option[Int] = None): Long = {
+                              maxFilesPerTrigger: Option[Int] = None,
+                              statePartitions: Int = 4): Long = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     var rs = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
@@ -98,10 +111,18 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"))
-    val q = agg.writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .format("parquet").option("path", sinkDir)
-      .trigger(Trigger.AvailableNow()).start()
+    // state-sized stateful shuffle (see eventCounts). The partition count
+    // is pinned by the FIRST run against a checkpoint; restarts under the
+    // same checkpoint reuse the stored value, so resume stays coherent.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        agg.writeStream.outputMode("append")
+          .option("checkpointLocation", checkpoint)
+          .format("parquet").option("path", sinkDir)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     // sum numRowsDroppedByWatermark over the run's progress updates
     q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
@@ -163,7 +184,8 @@ object Streaming {
                   checkpoint: String, sinkDir: String,
                   glob: String = "documents.parquet",
                   maxFilesPerTrigger: Option[Int] = None,
-                  stateStore: String = defaultStateStore): Unit = {
+                  stateStore: String = defaultStateStore,
+                  statePartitions: Int = 4): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.option("pathGlobFilter", glob)
@@ -185,13 +207,22 @@ object Streaming {
           }
       }
       .toDF("text_hash", "keeper_id")
-    withStateStoreProvider(spark, stateStore) {
-      val q = out.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .format("parquet").option("path", sinkDir)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    // state-sized stateful shuffle (see eventCounts): dedup state is
+    // hash-keyed rows, and a store instance per session core is pure
+    // per-batch snapshot cost at fixture state volumes. Pinned by the
+    // first run against a checkpoint, so resume stays coherent.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        withStateStoreProvider(spark, stateStore) {
+          out.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .format("parquet").option("path", sinkDir)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
   }
 
   /** Streaming sessionization with Spark's NATIVE session windows:

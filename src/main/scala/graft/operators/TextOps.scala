@@ -119,26 +119,35 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.TaskContext
+    // the partition id is frozen into the cached rows (evaluated in the
+    // cache-build stage) rather than read from TaskContext in the
+    // assignment pass: a downstream coalesce() would pipeline the pass
+    // into one task whose TaskContext id is the coalesced partition's,
+    // restarting the offset for every merged parent — the footprints
+    // lesson ([[graft.operators.ChipPipeline.footprints]]); data-carried
+    // pids make the enumeration correct in any execution shape.
     val parts = docs
       .select(col("doc_id").cast("long"),
         nTokens.cast("long").as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, Long, Int)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val partTotals = parts.mapPartitions { it =>
-      var s = 0L
-      it.foreach(s += _._2)
-      Iterator.single((TaskContext.getPartitionId(), s))
-    }.collect().sortBy(_._1)
-    val offsets = new Array[Long](partTotals.length + 1)
+    val partTotals = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val maxPid = if (partTotals.isEmpty) -1 else partTotals.map(_._1).max
+    val offsets = new Array[Long](maxPid + 2)
     partTotals.foreach { case (pid, s) => offsets(pid + 1) = s }
     var i = 1
     while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
     val bc = spark.sparkContext.broadcast(offsets)
     val out = parts.mapPartitions { it =>
-      var acc = bc.value(TaskContext.getPartitionId())
-      it.map { case (id, n) =>
+      val off = bc.value
+      var curPid = -1
+      var acc = 0L
+      it.map { case (id, n, pid) =>
+        if (pid != curPid) { curPid = pid; acc = off(pid) }
         val bin = acc / capacity
         acc += n
         (id, n, bin)
@@ -1120,13 +1129,30 @@ object TextOps {
     spark.createDataset(rows).toDF("p", "len_fp")
   }
 
+  /** Per-thread MD5 instance for [[h60Jvm]]: `MessageDigest.getInstance`
+    * does a provider lookup + allocation per call, and the old per-call
+    * form sat in per-TOKEN hot loops (dsir/lm-perplexity/novelty score
+    * millions of tokens per task). `digest()` resets the instance, so
+    * reuse is safe. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** JVM twin of [[fingerprintCol]]: md5 → first 15 hex chars → long.
-    * Must stay bit-identical to the column form — pinned by TextOpsSpec. */
+    * Must stay bit-identical to the column form — pinned by TextOpsSpec.
+    * The first 15 hex chars of the digest ARE the top 60 bits of the
+    * big-endian first-8-byte value, so the value is assembled directly
+    * from the bytes (the old form built a formatted hex string per call
+    * and re-parsed it — measured as the dominant per-token cost of the
+    * scoring passes, guide §1.2 step 2). */
   private[graft] def h60Jvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    v >>> 4
   }
 
   /** Cross-document substring-overlap detection (the ExactSubstr idea of

@@ -50,6 +50,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.features(0) != f1.features(0))
   }
 
+  test("WAV fixture writer is byte-identical to the JDK WAVE writer") {
+    // encodeWav writes the canonical RIFF header directly (the JDK write
+    // path re-scans the provider registry behind a class lock per call —
+    // it serialized the spread decode tasks); this pin keeps the manual
+    // bytes exactly what AudioSystem.write would have produced, so the
+    // swap is invisible to every consumer (payload lengths included).
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    for (k <- Seq(0L, 1L, 7L, 42L, 99L); pert <- Seq(false, true)) {
+      val n = Multimodal.synthAudioLen(k)
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { t =>
+        val s0 = Multimodal.synthSample(k, t)
+        val s = if (pert && t == 0) (s0 + 512).toShort else s0
+        pcm(2 * t) = (s & 0xff).toByte
+        pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(Multimodal.AudioSampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(Multimodal.encodeWav(k, pert), bos.toByteArray),
+        s"manual WAV bytes diverge from the JDK writer at k=$k pert=$pert")
+    }
+  }
+
   test("real WAV codec: encode→decode roundtrip recovers exact sample statistics") {
     val k = 42L
     val n = Multimodal.synthAudioLen(k)

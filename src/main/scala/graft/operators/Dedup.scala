@@ -785,14 +785,23 @@ object Dedup {
     * depends on it — callers release it with `spark.catalog.clearCache()`
     * (or their own unpersist) after the terminal action; same contract as
     * [[graft.operators.Search.bm25TopK]] / [[TextOps.ngramNovelty]]. */
+  /** Prior-fingerprint count at or below which [[crossCorpus]] skips the
+    * Bloom stage for a plain anti-join: a prior that fits a broadcast
+    * build (8-byte fingerprints; 4M ≈ tens of MB) makes the broadcast
+    * LEFT ANTI join strictly better at ANY scale — the new side is not
+    * shuffled AT ALL and no Bloom build pass runs. The Bloom stage's value
+    * begins exactly where the prior outgrows broadcast. */
+  val BloomSkipPriorLimit = 4000000L
+
   def crossCorpus(newDocs: DataFrame, prior: DataFrame,
-      fpp: Double = 0.01, bloom: Boolean = true): DataFrame = {
+      fpp: Double = 0.01, bloom: Boolean = true,
+      bloomSkipPriorLimit: Long = BloomSkipPriorLimit): DataFrame = {
     val spark = newDocs.sparkSession
     val nf = newDocs.select(col("doc_id"), h60(col("text")).as("fp"))
     if (!bloom) return nf.join(
         prior.select(h60(col("text")).as("fp")).distinct(), Seq("fp"), "left_anti")
       .select("doc_id", "fp")
-    // the prior fingerprints are read THREE times (count for
+    // the prior fingerprints are read up to three times (count for
     // expectedNumItems, bloomFilter build, exact verify anti-join) —
     // persist so the prior corpus is scanned+hashed once, not per action
     // (usual cache contract: caller clearCache after the terminal action)
@@ -800,6 +809,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // expectedNumItems from a cheap hash-only count; never collect the fps
     val nPrior = math.max(pf.count(), 1L)
+    // measured-small prior: broadcast anti-join, no Bloom build, no UDF
+    // pass, zero shuffle of the new side — output-identical to the Bloom
+    // path (which is itself pinned identical to the plain anti-join by
+    // DedupSpec). The count above is paid on both paths.
+    if (nPrior <= bloomSkipPriorLimit)
+      return nf.join(pf.distinct(), Seq("fp"), "left_anti").select("doc_id", "fp")
     val filter = pf.stat.bloomFilter("fp", nPrior, fpp)
     val bc = spark.sparkContext.broadcast(filter)
     val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))

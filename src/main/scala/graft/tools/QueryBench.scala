@@ -29,15 +29,22 @@ object QueryBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // stage ledger for the CURRENT run only (cleared per rep)
-    case class St(name: String, wallMs: Long, tasks: Int, taskMs: Long)
+    case class St(name: String, wallMs: Long, tasks: Int, taskMs: Long,
+                  gcMs: Long, deserMs: Long, cpuMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b)
           .getOrElse(0L)
-        stages.add(St(i.name.linesIterator.next().take(90), wall, i.numTasks,
-          i.taskMetrics.executorRunTime))
+        // first graft frame in the callsite stack labels the stage better
+        // than the scheduler's name (broadcast builds all read
+        // withThreadLocalCaptured otherwise)
+        val site = i.details.linesIterator.find(_.contains("graft."))
+          .getOrElse(i.name.linesIterator.next()).trim.take(110)
+        stages.add(St(site, wall, i.numTasks, i.taskMetrics.executorRunTime,
+          i.taskMetrics.jvmGCTime, i.taskMetrics.executorDeserializeTime,
+          i.taskMetrics.executorCpuTime / 1000000L))
       }
     })
 
@@ -58,7 +65,7 @@ object QueryBench {
             import scala.jdk.CollectionConverters._
             val top = stages.asScala.toSeq.sortBy(-_.wallMs).take(12)
             top.foreach(s => println(
-              f"QB-STAGE ${s.wallMs}%6d ms wall  ${s.tasks}%4d tasks  ${s.taskMs}%7d ms task-time  ${s.name}"))
+              f"QB-STAGE ${s.wallMs}%6d ms wall  ${s.tasks}%4d tasks  ${s.taskMs}%7d run  ${s.cpuMs}%7d cpu  ${s.gcMs}%5d gc  ${s.deserMs}%5d deser  ${s.name}"))
           }
       }
     }

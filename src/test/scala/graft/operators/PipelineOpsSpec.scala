@@ -20,19 +20,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, "delta epsilon zeta"),    // dup of prior 101 → dropped
       (4L, "another novel document") // survives
     ).toDF("doc_id", "text")
-    val withBloom = Dedup.crossCorpus(fresh, prior, bloom = true)
+    // all three physical paths must agree: forced Bloom (skip limit 0),
+    // the measured-small broadcast anti-join (default limit), and the
+    // plain anti-join reference
+    val withBloom = Dedup.crossCorpus(fresh, prior, bloom = true,
+        bloomSkipPriorLimit = 0L)
+      .select("doc_id").as[Long].collect().sorted
+    val smallPath = Dedup.crossCorpus(fresh, prior, bloom = true)
       .select("doc_id").as[Long].collect().sorted
     val plain = Dedup.crossCorpus(fresh, prior, bloom = false)
       .select("doc_id").as[Long].collect().sorted
     assert(withBloom.toSeq == Seq(2L, 4L))
     assert(plain.toSeq == withBloom.toSeq)
+    assert(smallPath.toSeq == withBloom.toSeq)
   }
 
   test("crossCorpus: a tight-fpp Bloom on a disjoint corpus short-circuits everything") {
     import spark.implicits._
     val prior = (0L until 50L).map(i => (i, s"prior doc number $i")).toDF("doc_id", "text")
     val fresh = (0L until 50L).map(i => (i + 1000L, s"fresh doc number $i")).toDF("doc_id", "text")
-    val out = Dedup.crossCorpus(fresh, prior, fpp = 0.001)
+    val out = Dedup.crossCorpus(fresh, prior, fpp = 0.001, bloomSkipPriorLimit = 0L)
     assert(out.count() == 50L) // nothing shared → all survive
   }
 

@@ -82,8 +82,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Sort ["), "global limit must not plan a full sort")
   }
 
-  test("cross_corpus_dedup: Bloom pass-through union + anti-join only on candidates") {
+  test("cross_corpus_dedup: measured-small prior takes the broadcast anti-join, no Bloom stage") {
+    // the fixture prior is far under BloomSkipPriorLimit, so the plan must
+    // be the direct anti-join: no pass-through Union, no Bloom UDF pass,
+    // and the new side not shuffled (broadcast build side)
     val p = plan("cross_corpus_dedup")
+    assert(!p.contains("Union"), "small prior must not plan the Bloom split:\n" + p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("cross_corpus: forced Bloom path keeps pass-through union + anti-join only on candidates") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val p = Dedup.crossCorpus(docs, docs.where(col("doc_id") % 5 === 0),
+        bloomSkipPriorLimit = 0L)
+      .queryExecution.executedPlan.toString
     assert(p.contains("Union"), "definite non-members must bypass the join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
   }

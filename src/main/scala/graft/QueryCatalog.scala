@@ -49,6 +49,17 @@ object QueryCatalog {
 
   private def docs(s: SparkSession, dir: String) = spreadRead(s, s"$dir/documents.parquet")
 
+  /** Plain (un-spread) documents read for METADATA-ONLY consumers (doc_id /
+    * length projections feeding a join or aggregation): the [[spreadRead]]
+    * round-robin exchange exists to parallelize heavy per-row work, but a
+    * consumer that immediately re-exchanges (join key) or collects
+    * (broadcast build) gets zero benefit and pays one full extra exchange
+    * of the rows — measured on dedup_clusters/dedup_keep_best as a wasted
+    * RoundRobinPartitioning hop under the final join on both sides
+    * (guide §2.4: remove shuffles outright). */
+  private def docsPlain(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
   /** Fixed BM25 query set over the documents vocabulary (shared verbatim
     * with the oracle's VALUES list). */
   private val Bm25Queries: Seq[(Long, String)] = Seq(
@@ -675,21 +686,24 @@ object QueryCatalog {
       val pairs = Dedup.simhashPairs(docs(s, dir), maxHamming = 12,
         collapseThreshold = memoizedCollapse(s, dir))
       val cc = Dedup.connectedComponents(pairs)
-      docs(s, dir).select(col("doc_id"))
+      docsPlain(s, dir).select(col("doc_id"))
         .join(cc.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
     }),
 
     // canonical keeper per near-dup cluster (longest member, id ties) —
-    // the hot-key-safe min-struct argmax, one map-side-combined pass
+    // the hot-key-safe min-struct argmax, one map-side-combined pass.
+    // docsPlain on the metadata sides: the id join and the n_chars
+    // broadcast build re-exchange/collect immediately, so the spread hop
+    // is pure cost there (the simhash pipeline input keeps the spread)
     "dedup_keep_best" -> ((s, dir) => {
       val pairs = Dedup.simhashPairs(docs(s, dir), maxHamming = 12,
         collapseThreshold = memoizedCollapse(s, dir))
       val cc = Dedup.connectedComponents(pairs)
-      val clusters = docs(s, dir).select(col("doc_id"))
+      val clusters = docsPlain(s, dir).select(col("doc_id"))
         .join(cc.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
-      Dedup.keepBest(clusters, docs(s, dir))
+      Dedup.keepBest(clusters, docsPlain(s, dir))
     }),
     // banded sign-LSH near-dup pairs (6 bands of 4 sign bits; candidate iff
     // SOME band key matches → exact cosine verify). The oracle reproduces

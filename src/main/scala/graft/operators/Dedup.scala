@@ -535,7 +535,17 @@ object Dedup {
           col("label").cast(idType).as("label"))
         .localCheckpoint(true) // edges' cached blocks are about to go away
       edges.unpersist()
-      return out
+      // broadcast-hint the labels: a localCheckpoint is an ExistingRDD with
+      // UNKNOWN stats, so a caller joining the (small) label table against a
+      // corpus-sized id column gets a SortMergeJoin that shuffles the CORPUS
+      // (measured: dedup_clusters' final join was SMJ + 2 exchanges + 2
+      // sorts). This path guarantees ≤ localEdgeLimit edges → ≤ 2× that in
+      // label rows (two ids each ≈ tens of MB at the 2M default) — a safe,
+      // measured-small broadcast at ANY corpus size, and strictly cheaper
+      // than exchanging the big side (guide §3.1: pick the strategy
+      // deliberately). The distributed-loop path below keeps no hint: its
+      // graphs are unbounded.
+      return broadcast(out)
     }
 
     val sessionParts = caller.conf.get("spark.sql.shuffle.partitions").toInt

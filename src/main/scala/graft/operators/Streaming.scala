@@ -21,6 +21,14 @@ object Streaming {
   def defaultStateStore: String =
     sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
 
+  /** Default stateful-shuffle width (`SPARK_GRAFT_STATE_PARTITIONS`): every
+    * shuffle partition of a stateful operator is a state-store instance
+    * paying per-batch snapshot/commit files, so the right width tracks the
+    * STATE volume, not the core count. 4 is the measured fixture-scale
+    * optimum; a deployment raises it with actual state volume. */
+  def defaultStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").flatMap(_.toIntOption).getOrElse(4)
+
   /** Scope the streaming state-store provider around `f` and restore it.
     * "hdfs" (the Spark default) keeps all state as JVM objects in executor
     * heap — O(state) memory, the scale ceiling for a 100-TB dedup whose
@@ -77,7 +85,7 @@ object Streaming {
     * so 32 store instances are pure fixed cost. A deployment raises
     * `statePartitions` with actual state volume. */
   def eventCounts(spark: SparkSession, sfDir: String,
-                  statePartitions: Int = 4): DataFrame = {
+                  statePartitions: Int = defaultStatePartitions): DataFrame = {
     val agg = tableStream(spark, sfDir, "events")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -98,7 +106,7 @@ object Streaming {
                               checkpoint: String, sinkDir: String,
                               glob: String = "events.parquet",
                               maxFilesPerTrigger: Option[Int] = None,
-                              statePartitions: Int = 4): Long = {
+                              statePartitions: Int = defaultStatePartitions): Long = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     var rs = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
@@ -140,7 +148,7 @@ object Streaming {
     * BATCH over the sink (stream-stream join + streaming agg in one query
     * would need another watermark hop and buys nothing for the oracle). */
   def streamStreamJoin(spark: SparkSession, sfDir: String,
-                       statePartitions: Int = 4,
+                       statePartitions: Int = defaultStatePartitions,
                        stateStore: String = defaultStateStore): DataFrame = {
     def side(prefix: String): DataFrame =
       tableStream(spark, sfDir, "events")
@@ -185,7 +193,7 @@ object Streaming {
                   glob: String = "documents.parquet",
                   maxFilesPerTrigger: Option[Int] = None,
                   stateStore: String = defaultStateStore,
-                  statePartitions: Int = 4): Unit = {
+                  statePartitions: Int = defaultStatePartitions): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.option("pathGlobFilter", glob)
@@ -241,7 +249,7 @@ object Streaming {
     * tz-neutral). */
   def sessionWindows(spark: SparkSession, sfDir: String,
                      gap: String = "30 minutes",
-                     statePartitions: Int = 4): DataFrame = {
+                     statePartitions: Int = defaultStatePartitions): DataFrame = {
     val agg = tableStream(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")

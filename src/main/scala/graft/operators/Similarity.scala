@@ -324,16 +324,23 @@ object Similarity {
                 nCoarse: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 256,
                 lloydRounds: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val cents = kmeansRefine(vectors, ivfCentroids(vectors, nCoarse), lloydRounds)
     val dsub = dim / m
     // residual codebooks: the deterministic first-ksub sample's residuals
     // against their OWN coarse centroids (driver-side bucket rule is the
     // engine's, bit-exact — see coarseBucketOf)
-    val sample = vectors.orderBy("vec_id").limit(ksub)
+    val sample = vectors.orderBy("vec_id").limit(math.max(ksub, nCoarse))
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    // coarse init = the first nCoarse rows of the SAME ordered sample —
+    // identical to ivfCentroids(vectors, nCoarse) (same orderBy(vec_id)
+    // prefix, same cast) but without a SECOND TakeOrdered job over the
+    // corpus: codebook sampling pays one pass, not two (guide §1.2 step 1:
+    // don't compute things twice). kmeansRefine leaves it untouched at the
+    // catalog's lloydRounds = 0.
+    val cents = kmeansRefine(vectors,
+      sample.take(nCoarse).map(_.toSeq: Seq[Double]).toSeq, lloydRounds)
     val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
-      sample.toSeq.map { e =>
+      sample.take(ksub).toSeq.map { e =>
         val c = cents(coarseBucketOf(e, cents))
         ((s * dsub) until ((s + 1) * dsub)).map(i => e(i) - c(i)): Seq[Double]
       }

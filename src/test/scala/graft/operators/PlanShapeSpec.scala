@@ -50,6 +50,19 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"))
   }
 
+  test("dedup_clusters: local-CC labels broadcast into the final join, no corpus shuffle") {
+    // the local union-find path guarantees a measured-small label table
+    // (≤ localEdgeLimit edges), so connectedComponents hints it broadcast:
+    // the doc_id ⟕ labels join must be a BroadcastHashJoin — a
+    // SortMergeJoin here means the corpus-sized id column is being
+    // exchanged for a tens-of-MB build side (the r9 finding). The id side
+    // also reads plain (no round-robin spread hop under the join).
+    val p = plan("dedup_clusters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("RoundRobinPartitioning"), p.take(2000))
+  }
+
   test("spatial_join_tiles: cell equi-join with broadcast tile cover") {
     val p = plan("spatial_join_tiles")
     assert(p.contains("BroadcastHashJoin"))
